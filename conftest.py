@@ -1,0 +1,20 @@
+# Root conftest: force tests onto a virtual 8-device CPU mesh so multi-chip
+# sharding (mesh / pjit / shard_map) is exercised without TPU hardware
+# (SURVEY.md section 4).
+#
+# NOTE: the container's sitecustomize imports jax at interpreter startup and
+# registers the TPU ("axon") PJRT plugin, so setting JAX_PLATFORMS in the
+# environment here is too late — we must go through jax.config, which takes
+# effect because backends initialize lazily.
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(__file__))
