@@ -1,0 +1,63 @@
+"""Benchmark: batched HMR+SMPL inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is the BASELINE north-star configuration — images -> HMR
+(ResNet-50 + 3-step IEF) -> SMPL LBS -> 6890-vertex posed meshes, jitted as a
+single XLA program, batched over frames.  vs_baseline is measured throughput
+over the 1000 frames/sec/chip target (/root/repo/BASELINE.json; the reference
+itself publishes no numbers, see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 64
+WARMUP = 3
+ITERS = 10
+TARGET_FPS = 1000.0
+
+
+def main() -> None:
+    from tpubody.models import hmr as hmr_lib
+    from tpubody.models import params as params_lib
+    from tpubody.models import smpl as smpl_lib
+
+    model, variables = hmr_lib.create_hmr(dtype=jnp.bfloat16)
+    body = params_lib.synthetic(n_joints=24, n_verts=6890, seed=0)
+
+    @jax.jit
+    def step(images):
+        out = model.apply(variables, images)
+        state = smpl_lib.forward_batch(
+            body, out.rotmats, out.shape, None, pose_is_rotmat=True)
+        return state.verts, out.cam
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(step(images))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        jax.block_until_ready(step(images))
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "hmr_smpl_inference_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

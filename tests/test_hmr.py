@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpubody.models import hmr as hmr_lib
+
+
+@pytest.fixture(scope="module")
+def small_images():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(2, 224, 224, 3)), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    # fp32 on CPU test mesh; bf16 is the TPU deployment dtype.
+    return hmr_lib.create_hmr(dtype=jnp.float32)
+
+
+def test_forward_shapes(model_and_vars, small_images):
+    model, variables = model_and_vars
+    out = model.apply(variables, small_images)
+    assert out.rotmats.shape == (2, 24, 3, 3)
+    assert out.shape.shape == (2, 10)
+    assert out.cam.shape == (2, 3)
+    assert out.pose6d.shape == (2, 144)
+
+
+def test_rotmats_are_rotations(model_and_vars, small_images):
+    model, variables = model_and_vars
+    out = model.apply(variables, small_images)
+    R = np.asarray(out.rotmats).reshape(-1, 3, 3)
+    should_be_eye = R @ np.transpose(R, (0, 2, 1))
+    np.testing.assert_allclose(
+        should_be_eye, np.broadcast_to(np.eye(3), R.shape), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_ief_starts_from_mean_params(model_and_vars, small_images):
+    """With zeroed head weights the IEF loop must return the mean params."""
+    model, variables = model_and_vars
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+    # Zero only the decoder heads; backbone untouched.
+    params = dict(variables["params"])
+    for head in ("decpose", "decshape", "deccam"):
+        params[head] = zeroed[head]
+    out = model.apply({**variables, "params": params}, small_images)
+    mean = hmr_lib.default_mean_params()
+    np.testing.assert_allclose(np.asarray(out.pose6d[0]), mean[:144], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.shape[0]), mean[144:154], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.cam[0]), mean[154:], atol=1e-6)
+
+
+def test_jit_and_batch_independence(model_and_vars, small_images):
+    model, variables = model_and_vars
+    fn = jax.jit(lambda imgs: model.apply(variables, imgs))
+    out2 = fn(small_images)
+    out1 = fn(small_images[:1].repeat(2, axis=0))
+    # Per-sample outputs must not leak across the batch.
+    np.testing.assert_allclose(
+        np.asarray(out1.shape[0]), np.asarray(out1.shape[1]), atol=1e-6)
+    assert not np.allclose(np.asarray(out2.shape[0]), np.asarray(out2.shape[1]))
+
+
+def test_torch_state_dict_conversion():
+    """A synthetic torch-style state dict converts to the exact Flax tree."""
+    rng = np.random.default_rng(1)
+    sd = {}
+    def bn_stats(prefix, ch):
+        sd[f"{prefix}.weight"] = rng.normal(size=(ch,)).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.normal(size=(ch,)).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = rng.normal(size=(ch,)).astype(np.float32)
+        sd[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, size=(ch,)).astype(np.float32)
+
+    sd["conv1.weight"] = (0.01 * rng.normal(size=(64, 3, 7, 7))).astype(np.float32)
+    bn_stats("bn1", 64)
+    feats = (64, 128, 256, 512)
+    in_ch = 64
+    for i, n_blocks in enumerate((3, 4, 6, 3)):
+        f = feats[i]
+        for j in range(n_blocks):
+            pre = f"layer{i+1}.{j}"
+            sizes = [(f, in_ch if j == 0 else f * 4, 1, 1),
+                     (f, f, 3, 3), (f * 4, f, 1, 1)]
+            for c, s in zip((1, 2, 3), sizes):
+                sd[f"{pre}.conv{c}.weight"] = (
+                    0.01 * rng.normal(size=s)).astype(np.float32)
+                bn_stats(f"{pre}.bn{c}", s[0])
+            if j == 0:
+                sd[f"{pre}.downsample.0.weight"] = (0.01 * rng.normal(
+                    size=(f * 4, in_ch, 1, 1))).astype(np.float32)
+                bn_stats(f"{pre}.downsample.1", f * 4)
+        in_ch = f * 4
+    sd["fc1.weight"] = (0.01 * rng.normal(size=(1024, 2048 + 144 + 13))).astype(np.float32)
+    sd["fc1.bias"] = np.zeros(1024, np.float32)
+    sd["fc2.weight"] = (0.01 * rng.normal(size=(1024, 1024))).astype(np.float32)
+    sd["fc2.bias"] = np.zeros(1024, np.float32)
+    for head, n in (("decpose", 144), ("decshape", 10), ("deccam", 3)):
+        sd[f"{head}.weight"] = (0.01 * rng.normal(size=(n, 1024))).astype(np.float32)
+        sd[f"{head}.bias"] = np.zeros(n, np.float32)
+
+    converted = hmr_lib.convert_torch_state_dict(sd, hmr_lib.default_mean_params())
+    model, variables = hmr_lib.create_hmr(dtype=jnp.float32)
+
+    ref_shapes = {jax.tree_util.keystr(p): v.shape
+                  for p, v in jax.tree_util.tree_leaves_with_path(variables)}
+    got_shapes = {jax.tree_util.keystr(p): v.shape
+                  for p, v in jax.tree_util.tree_leaves_with_path(converted)}
+    assert ref_shapes == got_shapes
+    # And the converted weights actually run.
+    out = model.apply(converted, jnp.zeros((1, 224, 224, 3)))
+    assert np.isfinite(np.asarray(out.shape)).all()

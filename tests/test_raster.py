@@ -1,0 +1,99 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpubody.render import raster as raster_lib
+from tests.oracle.np_raster import rasterize_np
+
+
+def _random_mesh(n_verts=40, n_faces=30, size=48, seed=0):
+    rng = np.random.default_rng(seed)
+    verts = np.zeros((n_verts, 3))
+    verts[:, 0] = rng.uniform(2, size - 2, n_verts)
+    verts[:, 1] = rng.uniform(2, size - 2, n_verts)
+    verts[:, 2] = rng.uniform(0.5, 3.0, n_verts)
+    faces = rng.integers(0, n_verts, size=(n_faces, 3)).astype(np.int32)
+    attrs = rng.normal(size=(n_verts, 5))
+    return verts, faces, attrs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_bruteforce_oracle(seed):
+    size = 48
+    verts, faces, attrs = _random_mesh(seed=seed, size=size)
+    out = raster_lib.rasterize(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(faces),
+        jnp.asarray(attrs, jnp.float32), size, size, window=size)
+    ref_img, ref_depth, ref_mask, ref_fid = rasterize_np(
+        verts, faces, attrs, size, size)
+
+    got_mask = np.asarray(out.mask)
+    # Coverage must agree except possibly on exact triangle edges.
+    disagree = got_mask != ref_mask
+    assert disagree.mean() < 0.01, f"coverage mismatch {disagree.mean()}"
+
+    both = got_mask & ref_mask
+    # Depth-quantized winner selection: allow tiny attr deviation where two
+    # faces are within one quantization step, exact elsewhere.
+    same_face = np.asarray(out.face_id) == ref_fid
+    agree = both & same_face
+    assert (agree.sum() / max(both.sum(), 1)) > 0.98
+    np.testing.assert_allclose(
+        np.asarray(out.attrs)[agree], ref_img[agree], atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.depth)[agree], ref_depth[agree], atol=1e-3)
+
+
+def test_single_triangle_interpolation():
+    verts = np.array([[4, 4, 1.0], [28, 4, 1.0], [4, 28, 1.0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    attrs = np.array([[1.0], [0.0], [0.0]], np.float32)
+    out = raster_lib.rasterize(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs),
+        32, 32, window=32)
+    m = np.asarray(out.mask)
+    assert m[5, 5] and not m[30, 30]
+    # Attribute at v0's corner close to 1, decreasing along x.
+    a = np.asarray(out.attrs)[..., 0]
+    assert a[5, 5] > a[5, 20] > 0.0
+
+
+def test_depth_ordering_two_triangles():
+    # Two overlapping triangles; nearer one (z=1) must win over z=2.
+    verts = np.array([
+        [2, 2, 1.0], [30, 2, 1.0], [2, 30, 1.0],       # near
+        [2, 2, 2.0], [30, 2, 2.0], [30, 30, 2.0],      # far
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    attrs = np.array([[1.0]] * 3 + [[2.0]] * 3, np.float32)
+    out = raster_lib.rasterize(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs),
+        32, 32, window=32)
+    a = np.asarray(out.attrs)[..., 0]
+    assert abs(a[4, 8] - 1.0) < 1e-5     # overlap region -> near triangle
+    assert abs(a[28, 28] - 2.0) < 1e-5   # far-only region
+
+
+def test_multichannel_one_pass():
+    """24-channel attribute maps interpolate in a single pass
+    (vs the reference's 8 RGB passes, utils/render_model.py:101-110)."""
+    verts, faces, _ = _random_mesh()
+    rng = np.random.default_rng(3)
+    attrs = rng.random((verts.shape[0], 24))
+    out = raster_lib.rasterize(
+        jnp.asarray(verts, jnp.float32), jnp.asarray(faces),
+        jnp.asarray(attrs, jnp.float32), 48, 48, window=48)
+    assert out.attrs.shape == (48, 48, 24)
+    m = np.asarray(out.mask)
+    vals = np.asarray(out.attrs)[m]
+    assert np.isfinite(vals).all()
+    assert (vals >= -1e-4).all() and (vals <= 1.0 + 1e-4).all()
+
+
+def test_vertex_normals_flat_quad():
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    vn = np.asarray(raster_lib.vertex_normals(jnp.asarray(verts), jnp.asarray(faces)))
+    np.testing.assert_allclose(np.abs(vn[:, 2]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(vn[:, :2], 0.0, atol=1e-6)

@@ -1,0 +1,227 @@
+"""HMR: ResNet-50 encoder + iterative-error-feedback SMPL regressor (Flax).
+
+Capability parity with the reference torch model (models/hmr.py:8-164):
+input 224x224 RGB -> (pred_rotmat (B,24,3,3), pred_shape (B,10),
+pred_cam (B,3)) via a ResNet-50 backbone, global average pool, and a 3-step
+IEF loop over an MLP head initialised from SMPL mean parameters.
+
+TPU-first design decisions (not a torch translation):
+  * NHWC layout throughout — XLA's preferred conv layout on TPU (MXU tiling).
+  * The IEF loop is unrolled statically inside one jit: 3 iterations of a
+    small MLP, fused by XLA into the same program as the backbone.
+  * Parameter dtype is configurable; bfloat16 activations keep the conv/matmul
+    pipeline on the MXU at full rate, with fp32 head outputs for the
+    rot6d->rotmat Gram-Schmidt (tpubody.core.rotations.rot6d_to_rotmat).
+  * BatchNorm runs in inference mode by default (use_running_average=True),
+    matching deployment; training mode is available via ``train=True``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpubody.core.rotations import rot6d_to_rotmat
+
+NPOSE = 24 * 6  # 144: 24 joints x 6D rotation (reference models/hmr.py:56)
+
+
+class HMROutput(NamedTuple):
+    rotmats: jnp.ndarray  # (B, 24, 3, 3)
+    shape: jnp.ndarray    # (B, 10)
+    cam: jnp.ndarray      # (B, 3) weak-perspective (s, tx, ty)
+    pose6d: jnp.ndarray   # (B, 144) raw 6D pose (pre-Gram-Schmidt)
+
+
+class Bottleneck(nn.Module):
+    """ResNet-v1 bottleneck block, NHWC."""
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = functools.partial(
+            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            epsilon=1e-5, dtype=self.dtype)
+        conv = functools.partial(nn.Conv, use_bias=False, dtype=self.dtype)
+
+        residual = x
+        y = conv(self.features, (1, 1), name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                 padding=((1, 1), (1, 1)), name="conv2")(y)
+        y = norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(self.features * 4, (1, 1), name="conv3")(y)
+        y = norm(name="bn3")(y)
+
+        if residual.shape[-1] != self.features * 4 or self.strides != 1:
+            residual = conv(self.features * 4, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample_conv")(x)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 feature extractor -> (B, 2048) pooled features."""
+
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = functools.partial(
+            nn.BatchNorm, use_running_average=not train, momentum=0.9,
+            epsilon=1e-5, dtype=self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, (n_blocks, feats) in enumerate(
+                zip(self.stage_sizes, (64, 128, 256, 512))):
+            for j in range(n_blocks):
+                strides = 2 if (j == 0 and i > 0) else 1
+                x = Bottleneck(feats, strides=strides, dtype=self.dtype,
+                               name=f"layer{i + 1}_{j}")(x, train=train)
+        return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+
+
+class HMR(nn.Module):
+    """HMR regressor.  ``mean_params``: (144 + 10 + 3,) initial estimate."""
+
+    mean_params: np.ndarray
+    n_iter: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> HMROutput:
+        """images: (B, 224, 224, 3) NHWC, normalized."""
+        B = images.shape[0]
+        xf = ResNet50(dtype=self.dtype, name="backbone")(
+            images.astype(self.dtype), train=train)
+
+        mean = jnp.asarray(self.mean_params, jnp.float32)
+        pose = jnp.broadcast_to(mean[:NPOSE], (B, NPOSE))
+        shape = jnp.broadcast_to(mean[NPOSE:NPOSE + 10], (B, 10))
+        cam = jnp.broadcast_to(mean[NPOSE + 10:NPOSE + 13], (B, 3))
+
+        fc1 = nn.Dense(1024, dtype=self.dtype, name="fc1")
+        fc2 = nn.Dense(1024, dtype=self.dtype, name="fc2")
+        # Heads in fp32: small, parity-critical outputs.
+        decpose = nn.Dense(NPOSE, dtype=jnp.float32, name="decpose")
+        decshape = nn.Dense(10, dtype=jnp.float32, name="decshape")
+        deccam = nn.Dense(3, dtype=jnp.float32, name="deccam")
+        dropout = nn.Dropout(0.5, deterministic=not train)
+
+        # IEF: statically unrolled (reference models/hmr.py:140-148).
+        for _ in range(self.n_iter):
+            xc = jnp.concatenate(
+                [xf, pose.astype(xf.dtype), shape.astype(xf.dtype),
+                 cam.astype(xf.dtype)], axis=-1)
+            h = dropout(nn.relu(fc1(xc)))
+            h = dropout(nn.relu(fc2(h)))
+            h32 = h.astype(jnp.float32)
+            pose = pose + decpose(h32)
+            shape = shape + decshape(h32)
+            cam = cam + deccam(h32)
+
+        rotmats = rot6d_to_rotmat(pose.reshape(B, 24, 6)).reshape(B, 24, 3, 3)
+        return HMROutput(rotmats=rotmats, shape=shape, cam=cam, pose6d=pose)
+
+
+def default_mean_params(seed: int = 0) -> np.ndarray:
+    """Deterministic stand-in for the reference's ``smpl_mean_params.npz``
+    (stripped asset): identity 6D rotations for all joints, zero shape,
+    unit-scale camera — a sane IEF starting point."""
+    del seed
+    ident6d = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24)
+    shape = np.zeros(10, np.float32)
+    cam = np.array([0.9, 0.0, 0.0], np.float32)
+    return np.concatenate([ident6d, shape, cam])
+
+
+def load_mean_params(path: str) -> np.ndarray:
+    """Load the reference mean-params npz (keys pose (144,), shape (10,),
+    cam (3,); reference models/hmr.py:103-107)."""
+    z = np.load(path)
+    return np.concatenate([
+        np.asarray(z["pose"], np.float32).reshape(-1),
+        np.asarray(z["shape"], np.float32).reshape(-1),
+        np.asarray(z["cam"], np.float32).reshape(-1),
+    ])
+
+
+def create_hmr(
+    mean_params: Optional[np.ndarray] = None,
+    n_iter: int = 3,
+    dtype: Any = jnp.bfloat16,
+    rng: Optional[jax.Array] = None,
+    image_size: int = 224,
+) -> Tuple[HMR, Any]:
+    """Build an HMR module + initialized variables."""
+    if mean_params is None:
+        mean_params = default_mean_params()
+    model = HMR(mean_params=mean_params, n_iter=n_iter, dtype=dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))
+    return model, variables
+
+
+def convert_torch_state_dict(state_dict: dict, mean_params: np.ndarray,
+                             n_iter: int = 3) -> dict:
+    """Convert a reference torch HMR checkpoint into Flax variables.
+
+    Accepts a ``{name: numpy array}`` mapping with torchvision-style resnet
+    naming as used by the reference (models/hmr.py:49-111): ``conv1.weight``,
+    ``bn1.*``, ``layer{1..4}.{j}.conv{1..3}.weight``, ``.bn{1..3}.*``,
+    ``.downsample.0/1.*``, ``fc1/fc2/decpose/decshape/deccam.{weight,bias}``.
+    Torch OIHW conv kernels become HWIO; Dense weights are transposed.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def conv_w(name):
+        return np.transpose(sd[name], (2, 3, 1, 0))  # OIHW -> HWIO
+
+    def bn(dst_scope, src):
+        put(params, dst_scope + ("scale",), sd[src + ".weight"])
+        put(params, dst_scope + ("bias",), sd[src + ".bias"])
+        put(batch_stats, dst_scope + ("mean",), sd[src + ".running_mean"])
+        put(batch_stats, dst_scope + ("var",), sd[src + ".running_var"])
+
+    bb = ("backbone",)
+    put(params, bb + ("conv1", "kernel"), conv_w("conv1.weight"))
+    bn(bb + ("bn1",), "bn1")
+    for i, n_blocks in enumerate((3, 4, 6, 3)):
+        for j in range(n_blocks):
+            src = f"layer{i + 1}.{j}"
+            dst = bb + (f"layer{i + 1}_{j}",)
+            for c in (1, 2, 3):
+                put(params, dst + (f"conv{c}", "kernel"),
+                    conv_w(f"{src}.conv{c}.weight"))
+                bn(dst + (f"bn{c}",), f"{src}.bn{c}")
+            if f"{src}.downsample.0.weight" in sd:
+                put(params, dst + ("downsample_conv", "kernel"),
+                    conv_w(f"{src}.downsample.0.weight"))
+                bn(dst + ("downsample_bn",), f"{src}.downsample.1")
+    for name in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        put(params, (name, "kernel"), sd[f"{name}.weight"].T)
+        put(params, (name, "bias"), sd[f"{name}.bias"])
+    return {"params": params, "batch_stats": batch_stats}
