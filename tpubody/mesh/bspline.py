@@ -1,0 +1,205 @@
+"""B-spline interpolation and evaluation in pure JAX (replaces geomdl).
+
+Capability parity with the reference's geomdl wrappers
+(utils/B_Spline.py:10-141: interpolate_curve, CurveContainer batch,
+interpolate_surface, construct_surface loft) — re-designed for TPU:
+
+  * global curve interpolation = chord-length parameterization + averaged
+    knots + one dense collocation solve (systems are tiny: n <= a few
+    hundred),
+  * evaluation = Cox-de Boor basis *matrix* (m, n) times control points —
+    a single MXU matmul for any sample count,
+  * batched curves via ``vmap`` (one compiled program for N curves — the
+    reference loops geomdl objects in python),
+  * tensor-product surfaces: interpolate rows then columns; evaluation is
+    two matmuls B_u @ C @ B_v^T.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Curve(NamedTuple):
+    control: jnp.ndarray   # (n, dim)
+    knots: jnp.ndarray     # (n + degree + 1,)
+    degree: int
+
+
+class Surface(NamedTuple):
+    control: jnp.ndarray   # (nu, nv, dim)
+    knots_u: jnp.ndarray
+    knots_v: jnp.ndarray
+    degree_u: int
+    degree_v: int
+
+
+def chord_length_params(points: jnp.ndarray) -> jnp.ndarray:
+    """Normalized chord-length parameters t_0=0 .. t_{n-1}=1."""
+    d = jnp.linalg.norm(jnp.diff(points, axis=0), axis=-1)
+    total = jnp.maximum(jnp.sum(d), 1e-12)
+    t = jnp.concatenate([jnp.zeros(1, points.dtype), jnp.cumsum(d)]) / total
+    return t
+
+
+def averaged_knots(params: jnp.ndarray, degree: int, n: int) -> jnp.ndarray:
+    """Knot vector by parameter averaging (de Boor / NURBS-book 9.8)."""
+    p = degree
+    # interior knots: u_{j+p} = mean(params[j .. j+p-1]), j = 1..n-p-1
+    if n - p - 1 > 0:
+        windows = jnp.stack(
+            [params[j:j + p] for j in range(1, n - p)], axis=0)  # (n-p-1, p)
+        interior = jnp.mean(windows, axis=1)
+    else:
+        interior = jnp.zeros((0,), params.dtype)
+    return jnp.concatenate([
+        jnp.zeros(p + 1, params.dtype),
+        interior,
+        jnp.ones(p + 1, params.dtype),
+    ])
+
+
+def basis_matrix(u: jnp.ndarray, knots: jnp.ndarray, degree: int,
+                 n: int) -> jnp.ndarray:
+    """Cox-de Boor basis functions N_{i,p}(u) for all i, vectorized.
+
+    Args:
+      u: (m,) parameters in [0, 1].
+      knots: (n + degree + 1,).
+      n: number of basis functions / control points.
+
+    Returns:
+      (m, n) matrix; rows sum to 1.
+    """
+    p = degree
+    m = u.shape[0]
+    u = jnp.clip(u, 0.0, 1.0)
+    nk = n + p  # number of degree-0 spans
+
+    # Degree 0: indicator of the half-open span, with the final span closed.
+    lo = knots[:nk]
+    hi = knots[1:nk + 1]
+    N = ((u[:, None] >= lo[None, :]) & (u[:, None] < hi[None, :])).astype(
+        u.dtype)
+    # u == 1 belongs to the last nonempty span.
+    last = (hi >= 1.0) & (lo < 1.0)
+    N = jnp.where((u[:, None] >= 1.0) & last[None, :], 1.0, N)
+
+    for d in range(1, p + 1):
+        cnt = nk - d
+        left_den = knots[d:d + cnt] - knots[:cnt]
+        right_den = knots[d + 1:d + 1 + cnt] - knots[1:1 + cnt]
+        left = jnp.where(
+            left_den > 1e-12,
+            (u[:, None] - knots[None, :cnt]) / jnp.where(
+                left_den > 1e-12, left_den, 1.0)[None, :] * N[:, :cnt],
+            0.0)
+        right = jnp.where(
+            right_den > 1e-12,
+            (knots[None, d + 1:d + 1 + cnt] - u[:, None]) / jnp.where(
+                right_den > 1e-12, right_den, 1.0)[None, :] * N[:, 1:1 + cnt],
+            0.0)
+        N = left + right
+    return N[:, :n]
+
+
+def interpolate_curve(points: jnp.ndarray, degree: int = 3) -> Curve:
+    """Global interpolation: the curve passes through all points
+    (geomdl fitting.interpolate_curve parity)."""
+    n = points.shape[0]
+    degree = min(degree, n - 1)
+    t = chord_length_params(points)
+    knots = averaged_knots(t, degree, n)
+    A = basis_matrix(t, knots, degree, n)
+    control = jnp.linalg.solve(A, points)
+    return Curve(control=control, knots=knots, degree=degree)
+
+
+def eval_curve(curve: Curve, num: int) -> jnp.ndarray:
+    """Evaluate at ``num`` evenly spaced parameters (delta = 1/(num-1))."""
+    u = jnp.linspace(0.0, 1.0, num)
+    B = basis_matrix(u, curve.knots, curve.degree, curve.control.shape[0])
+    return B @ curve.control
+
+
+def fit_curve_points(points: jnp.ndarray, degree: int, num: int
+                     ) -> jnp.ndarray:
+    """One-shot: interpolate then resample to ``num`` points."""
+    return eval_curve(interpolate_curve(points, degree), num)
+
+
+@functools.partial(jax.jit, static_argnames=("degree", "num"))
+def fit_curves_batch(points: jnp.ndarray, degree: int, num: int
+                     ) -> jnp.ndarray:
+    """Batched curve fit+resample: (B, n, dim) -> (B, num, dim).
+
+    One compiled program for all curves (the reference loops geomdl objects
+    per curve, utils/B_Spline.py:46).
+    """
+    return jax.vmap(lambda p: fit_curve_points(p, degree, num))(points)
+
+
+def interpolate_surface(grid: jnp.ndarray, degree_u: int = 3,
+                        degree_v: int = 3) -> Surface:
+    """Tensor-product surface through a (nu, nv, dim) grid of points
+    (geomdl fitting.interpolate_surface parity)."""
+    nu, nv = grid.shape[0], grid.shape[1]
+    degree_u = min(degree_u, nu - 1)
+    degree_v = min(degree_v, nv - 1)
+
+    # Average chord-length parameters across rows/cols (NURBS-book 9.9).
+    tu = jnp.mean(jax.vmap(chord_length_params, in_axes=1)(grid), axis=0)
+    tv = jnp.mean(jax.vmap(chord_length_params, in_axes=0)(grid), axis=0)
+    ku = averaged_knots(tu, degree_u, nu)
+    kv = averaged_knots(tv, degree_v, nv)
+
+    Au = basis_matrix(tu, ku, degree_u, nu)          # (nu, nu)
+    Av = basis_matrix(tv, kv, degree_v, nv)          # (nv, nv)
+
+    # Solve along v for each u-row, then along u.
+    # R[i] = Av^{-1} grid[i]  ->  control = Au^{-1} R
+    R = jax.vmap(lambda row: jnp.linalg.solve(Av, row))(grid)  # (nu, nv, dim)
+    control = jnp.linalg.solve(
+        Au, R.reshape(nu, -1)).reshape(nu, nv, -1)
+    return Surface(control=control, knots_u=ku, knots_v=kv,
+                   degree_u=degree_u, degree_v=degree_v)
+
+
+def eval_surface(surface: Surface, num_u: int, num_v: int) -> jnp.ndarray:
+    """(num_u, num_v, dim) sample grid — two matmuls."""
+    nu, nv = surface.control.shape[0], surface.control.shape[1]
+    u = jnp.linspace(0.0, 1.0, num_u)
+    v = jnp.linspace(0.0, 1.0, num_v)
+    Bu = basis_matrix(u, surface.knots_u, surface.degree_u, nu)  # (mu, nu)
+    Bv = basis_matrix(v, surface.knots_v, surface.degree_v, nv)  # (mv, nv)
+    tmp = jnp.einsum("ui,ivd->uvd", Bu, surface.control)
+    return jnp.einsum("vj,ujd->uvd", Bv, tmp)
+
+
+def grid_faces(num_u: int, num_v: int) -> np.ndarray:
+    """Triangulation of a (num_u, num_v) sample grid -> (F, 3) indices into
+    the row-major flattened grid (replaces geomdl surface.faces)."""
+    iu, iv = np.meshgrid(np.arange(num_u - 1), np.arange(num_v - 1),
+                         indexing="ij")
+    v00 = (iu * num_v + iv).ravel()
+    v01 = v00 + 1
+    v10 = v00 + num_v
+    v11 = v10 + 1
+    tris = np.concatenate([
+        np.stack([v00, v10, v11], axis=1),
+        np.stack([v00, v11, v01], axis=1),
+    ], axis=0)
+    return tris.astype(np.int32)
+
+
+def loft_surface(curves_points: jnp.ndarray, degree_u: int = 2,
+                 degree_v: int = 3) -> Surface:
+    """Loft a surface through K sampled curves (rows of the grid)
+    (geomdl construct_surface parity, utils/B_Spline.py:107-141: the stitch
+    band lofts 4 boundary rings, lib/Depth2Mesh_Bspline.py:417-445)."""
+    return interpolate_surface(curves_points, degree_u=degree_u,
+                               degree_v=degree_v)

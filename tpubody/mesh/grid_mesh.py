@@ -1,0 +1,187 @@
+"""Depth-map -> grid mesh with static topology, plus boundary-ring walking.
+
+Capability parity with the reference's depth2trimesh + get_bound_verts_index
+(lib/Depth2Mesh_Bspline.py:33-108, 196-234), re-designed:
+
+  * grid-face generation is fully vectorized (the reference already is) but
+    the *boundary walk* — an O(n^2) sequential np.delete loop in the
+    reference — becomes an O(n) successor-map walk on host,
+  * the mesh carries an (N, 3+3+K) attribute matrix (position, color,
+    skinning weights) exactly like the reference's "points" arrays, so
+    downstream stitching interpolates everything at once.
+
+Grid meshes from depth maps have compile-time-known topology (the mask only
+gates validity — SURVEY.md §7 "hard parts" #1), which is why this layer can
+stay host-side numpy without touching the TPU hot path.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class AttrMesh(NamedTuple):
+    """Mesh with per-vertex attribute block: columns [x, y, z, r, g, b, w...]."""
+
+    points: np.ndarray  # (N, 3 + C)
+    faces: np.ndarray   # (F, 3) int
+
+    @property
+    def verts(self) -> np.ndarray:
+        return self.points[:, :3]
+
+    @property
+    def colors(self) -> np.ndarray:
+        return self.points[:, 3:6]
+
+
+def rotation_about_y(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def back_rotation_angle(front_depth: np.ndarray, back_depth: np.ndarray,
+                        J_2d: np.ndarray) -> float:
+    """Angle between the front and back shoulder-line vectors (reference
+    back_trimesh_trans_angel, lib/Depth2Mesh_Bspline.py:356-369; joints 16/17
+    are the shoulders)."""
+    j16 = J_2d[16].astype(int)
+    j17 = J_2d[17].astype(int)
+    v1 = np.array([j16[1] - j17[1], j16[0] - j17[0],
+                   front_depth[j16[1], j16[0]] - front_depth[j17[1], j17[0]]])
+    v2 = np.array([j16[1] - j17[1], j16[0] - j17[0],
+                   back_depth[j16[1], j16[0]] - back_depth[j17[1], j17[0]]])
+    denom = np.linalg.norm(v1) * np.linalg.norm(v2)
+    if denom < 1e-12:
+        return 0.0
+    c = np.clip(np.dot(v1, v2) / denom, -1.0, 1.0)
+    return float(np.arccos(c))
+
+
+def depth_to_mesh(
+    depth: np.ndarray,            # (H, W)
+    color: np.ndarray,            # (H, W, 3)
+    weights: np.ndarray,          # (H, W, K)
+    mask: np.ndarray,             # (H, W) valid pixels
+    is_back: bool = False,
+    rotate_y: Optional[float] = None,
+) -> AttrMesh:
+    """Grid-triangulate the valid region of a depth map.
+
+    Vertices are (x=col, y=row, z=depth) with color+weight attributes; faces
+    connect valid 2x2 pixel quads (two triangles), with winding flipped for
+    the back surface.  Vertices not referenced by any face are dropped and
+    faces reindexed (np.unique inverse).
+    """
+    H, W = depth.shape
+    m = np.asarray(mask).astype(bool)
+    idx = np.arange(H * W).reshape(H, W)
+    valid_idx = np.where(m, idx, 0)
+
+    p00 = valid_idx[:-1, :-1].ravel()
+    p10 = valid_idx[1:, :-1].ravel()
+    p11 = valid_idx[1:, 1:].ravel()
+    p01 = valid_idx[:-1, 1:].ravel()
+    if is_back:
+        tris = np.concatenate([
+            np.stack([p00, p01, p10], axis=1),
+            np.stack([p01, p11, p10], axis=1),
+        ], axis=0)
+    else:
+        tris = np.concatenate([
+            np.stack([p00, p10, p01], axis=1),
+            np.stack([p01, p10, p11], axis=1),
+        ], axis=0)
+    # Keep faces whose three corners are all valid (index 0 marks invalid —
+    # the reference relies on pixel 0 being background, as do our masks).
+    keep = (tris[:, 0] * tris[:, 1] * tris[:, 2]) > 0
+    tris = tris[keep]
+
+    X, Y = np.meshgrid(np.arange(W), np.arange(H))
+    attrs = np.concatenate([
+        X[..., None], Y[..., None], depth[..., None], color,
+        weights], axis=2).reshape(H * W, -1)
+
+    vert_ids, inverse = np.unique(tris.ravel(), return_inverse=True)
+    faces = inverse.reshape(-1, 3).astype(np.int64)
+    points = attrs[vert_ids].astype(np.float64)
+
+    if is_back and rotate_y:
+        R = rotation_about_y(rotate_y)
+        points[:, :3] = points[:, :3] @ R.T
+    return AttrMesh(points=points, faces=faces)
+
+
+def boundary_edges(faces: np.ndarray) -> np.ndarray:
+    """Edges that belong to exactly one face -> (B, 2) vertex pairs."""
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]],
+                       axis=0)
+    key = np.sort(e, axis=1)
+    _, inv, counts = np.unique(key, axis=0, return_inverse=True,
+                               return_counts=True)
+    return e[counts[inv] == 1]
+
+
+def boundary_ring(faces: np.ndarray) -> np.ndarray:
+    """Ordered outer boundary vertex loop.
+
+    O(n) successor walk over the once-only edges (the reference's version
+    np.deletes from the edge list every step — O(n^2) python,
+    lib/Depth2Mesh_Bspline.py:196-234).
+    """
+    be = boundary_edges(faces)
+    succ: Dict[int, List[int]] = {}
+    for a, b in be:
+        succ.setdefault(int(a), []).append(int(b))
+        succ.setdefault(int(b), []).append(int(a))
+
+    start = int(be[0, 0])
+    ring = [start]
+    prev = -1
+    cur = start
+    for _ in range(be.shape[0] + 1):
+        nxts = [v for v in succ[cur] if v != prev]
+        if not nxts:
+            break
+        nxt = nxts[0]
+        if nxt == start:
+            break
+        ring.append(nxt)
+        prev, cur = cur, nxt
+    return np.asarray(ring, np.int64)
+
+
+def inner_ring(faces: np.ndarray, ring: np.ndarray,
+               n_verts: int) -> np.ndarray:
+    """For each consecutive boundary pair, the interior vertex they share
+    (reference in_bound_verts_index, lib/Depth2Mesh_Bspline.py:236-250)."""
+    # vertex -> set of neighbors
+    nbr: Dict[int, set] = {i: set() for i in range(n_verts)}
+    for a, b, c in faces:
+        nbr[int(a)].update((int(b), int(c)))
+        nbr[int(b)].update((int(a), int(c)))
+        nbr[int(c)].update((int(a), int(b)))
+    ring_set = set(int(v) for v in ring)
+    out = []
+    n = ring.shape[0]
+    for i in range(n):
+        a, b = int(ring[i]), int(ring[(i + 1) % n])
+        common = nbr[a] & nbr[b]
+        interior = [v for v in common if v not in ring_set]
+        out.append(interior[0] if interior else (list(common) or [a])[0])
+    return np.asarray(out, np.int64)
+
+
+def vertex_adjacency(faces: np.ndarray, n_verts: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """CSR-ish adjacency: (indptr (N+1,), indices (E,)) of vertex neighbors."""
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]],
+                        faces[:, [1, 0]], faces[:, [2, 1]], faces[:, [0, 2]]],
+                       axis=0)
+    e = np.unique(e, axis=0)
+    order = np.argsort(e[:, 0], kind="stable")
+    e = e[order]
+    counts = np.bincount(e[:, 0], minlength=n_verts)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return indptr.astype(np.int64), e[:, 1].astype(np.int64)
