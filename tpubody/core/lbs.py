@@ -15,6 +15,7 @@ TPU-first redesign of the SMPL/SMPLH numpy LBS core
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -194,6 +195,49 @@ def lbs(
         rel_transforms=G_rel,
         v_posed=v_posed,
     )
+
+
+def skin(
+    v_template: jnp.ndarray,     # (V, 3) rest-pose vertices
+    weights: jnp.ndarray,        # (V, J)
+    joints: jnp.ndarray,         # (J, 3) rest-pose joint locations
+    parents: Sequence[int],
+    pose: jnp.ndarray,           # (J, 3) axis-angle
+    trans: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Skin a rigged template with explicit joints (no regressor/blendshapes).
+
+    This is the per-frame animation kernel of rigged avatars (reference
+    RecoverModel.compute_R_G + do_skinning, lib/mesh2smpl_model.py:283-314,
+    lib/model2video.py:42-81): batched over frames with ``skin_batch`` it is
+    the "poses/sec" hot path.
+    """
+    J = len(parents)
+    R = rodrigues(pose.reshape(J, 3))
+    G = forward_kinematics(R, joints, parents)
+    G_rel = remove_rest_pose(G, joints)
+    T = blend_transforms(weights, G_rel)
+    verts = apply_transforms(T, v_template)
+    if trans is not None:
+        verts = verts + trans
+    return verts
+
+
+@functools.partial(jax.jit, static_argnames=("parents",))
+def skin_batch(
+    v_template: jnp.ndarray,   # (V, 3)
+    weights: jnp.ndarray,      # (V, J)
+    joints: jnp.ndarray,       # (J, 3)
+    parents: Tuple[int, ...],
+    poses: jnp.ndarray,        # (F, J, 3)
+    trans: Optional[jnp.ndarray] = None,  # (F, 3)
+) -> jnp.ndarray:
+    """One compiled program skinning F frames (the reference loops frames in
+    python, lib/model2video.py:514-522)."""
+    trans_axis = 0 if trans is not None else None
+    return jax.vmap(
+        lambda p, t: skin(v_template, weights, joints, parents, p, t),
+        in_axes=(0, trans_axis))(poses, trans)
 
 
 def inverse_lbs(
