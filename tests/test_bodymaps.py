@@ -1,0 +1,104 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpubody.render import bodymaps
+
+
+def _sphere_mesh(n_theta=24, n_phi=24, r=0.5):
+    """UV sphere centered at origin."""
+    verts, faces = [], []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            th = np.pi * (i + 0.5) / n_theta
+            ph = 2 * np.pi * j / n_phi
+            verts.append([r * np.sin(th) * np.cos(ph),
+                          r * np.cos(th),
+                          r * np.sin(th) * np.sin(ph)])
+    for i in range(n_theta - 1):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return np.asarray(verts), np.asarray(faces, np.int32)
+
+
+@pytest.fixture(scope="module")
+def rendered():
+    verts, faces = _sphere_mesh()
+    rng = np.random.default_rng(0)
+    w = np.abs(rng.normal(size=(verts.shape[0], 24)))
+    w /= w.sum(1, keepdims=True)
+    H = W = 128
+    maps = bodymaps.render_body_maps(
+        verts, faces, w,
+        camera_transl=np.array([0.0, 0.0, 10.0]),
+        camera_center=np.array([W / 2, H / 2]),
+        height=H, width=W, focal=1000.0, window=32)
+    return maps, H, W
+
+
+def test_projection_centered():
+    v = jnp.asarray([[0.0, 0.0, 0.0]])
+    s = np.asarray(bodymaps.project_to_screen(
+        v, jnp.asarray([0.0, 0.0, 5.0]), jnp.asarray([64.0, 64.0]), 1000.0))
+    np.testing.assert_allclose(s[0], [64.0, 64.0, 5.0], atol=1e-5)
+
+
+def test_silhouette_is_disk(rendered):
+    maps, H, W = rendered
+    mask = np.asarray(maps.mask)
+    # Sphere of radius .5 at z=10 with f=1000 -> ~50px radius disk.
+    area = mask.sum()
+    expected = np.pi * 50 ** 2
+    assert abs(area - expected) / expected < 0.15
+    assert mask[H // 2, W // 2]
+    assert not mask[5, 5]
+
+
+def test_background_is_white(rendered):
+    maps, H, W = rendered
+    fn = np.asarray(maps.front_normal)
+    assert (fn[0, 0] == 1.0).all()
+    wm = np.asarray(maps.weight_map)
+    assert (wm[0, 0] == 1.0).all()
+
+
+def test_front_normals_face_camera(rendered):
+    maps, H, W = rendered
+    mask = np.asarray(maps.mask)
+    n = np.asarray(maps.front_normal) * 2.0 - 1.0
+    # Center of the disk: normal points toward the camera (-z).
+    assert n[H // 2, W // 2, 2] < -0.5
+    # Normal magnitude ~1 inside.
+    mag = np.linalg.norm(n[mask], axis=-1)
+    assert (np.abs(mag - 1.0) < 0.2).mean() > 0.9
+
+
+def test_weights_partition_inside(rendered):
+    maps, H, W = rendered
+    mask = np.asarray(maps.mask)
+    wm = np.asarray(maps.weight_map)
+    sums = wm[mask].sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-2)
+
+
+def test_value_layout(rendered):
+    maps, H, W = rendered
+    v = np.asarray(maps.value)
+    assert v.shape == (H, W, 30)
+    np.testing.assert_allclose(v[..., 0:3], np.asarray(maps.front_normal))
+    np.testing.assert_allclose(v[..., 6:30], np.asarray(maps.weight_map))
+
+
+def test_warp_silhouette_consistency(rendered):
+    """The warp stage's silhouette extraction recognizes our background."""
+    from tpubody.image import warp
+    maps, H, W = rendered
+    sil = np.asarray(warp.silhouette_from_value(maps.value))
+    mask = np.asarray(maps.mask)
+    agree = (sil == mask).mean()
+    assert agree > 0.99
