@@ -1,0 +1,116 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpubody.io import motion as motion_lib
+from tpubody.mesh import rigging
+from tpubody.pipelines import animate as animate_lib
+from tpubody.render import video as video_lib
+from tpubody.models import params as params_lib
+
+
+class TestMotionIO:
+    def test_amass_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        poses156 = rng.normal(size=(20, 156))
+        trans = rng.normal(size=(20, 3))
+        p = str(tmp_path / "clip.npz")
+        np.savez(p, poses=poses156, trans=trans, mocap_framerate=120.0)
+        clip = motion_lib.read_amass(p)
+        assert clip.poses.shape == (20, 24, 3)
+        np.testing.assert_allclose(
+            clip.poses.reshape(20, 72), poses156[:, :72])
+        np.testing.assert_allclose(clip.trans[0], 0.0)
+        assert clip.fps == 120.0
+
+    def test_amass_stride(self, tmp_path):
+        p = str(tmp_path / "clip.npz")
+        np.savez(p, poses=np.zeros((11, 156)), trans=np.zeros((11, 3)))
+        clip = motion_lib.read_amass(p, stride=2)
+        assert clip.poses.shape[0] == 6
+
+    def test_mixamo_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        poses = rng.normal(size=(15, 24, 3))
+        p = str(tmp_path / "result.pkl")
+        motion_lib.save_mixamo(p, poses, fps=24.0)
+        clip = motion_lib.read_mixamo(p)
+        np.testing.assert_allclose(clip.poses, poses)
+        assert clip.fps == 24.0
+
+
+def _sphere_avatar():
+    import tests.test_reconstruct_e2e as e2e
+    verts, faces = e2e._sphere()
+    rng = np.random.default_rng(2)
+    parents = params_lib.SMPL_PARENTS
+    joints = np.zeros((24, 3))
+    for i in range(1, 24):
+        d = rng.normal(size=3); d /= np.linalg.norm(d)
+        joints[i] = joints[parents[i]] + d * 0.08
+    dist = np.linalg.norm(verts[:, None] - joints[None], axis=-1)
+    w = np.exp(-dist / 0.05); w /= w.sum(1, keepdims=True)
+    return rigging.RiggedAvatar(
+        v_template=verts, weights=w,
+        color=np.full_like(verts, 0.6),
+        faces=faces, joints=joints, parents=tuple(parents),
+        or_pose=np.zeros((24, 3)), or_shape=np.zeros(10))
+
+
+class TestFrameRender:
+    def test_render_frame_shape_and_background(self):
+        av = _sphere_avatar()
+        bg = np.zeros((128, 128, 3), np.float32)
+        img = np.asarray(video_lib.render_frame(
+            jnp.asarray(av.v_template, jnp.float32),
+            jnp.asarray(av.faces), jnp.asarray(av.color, jnp.float32),
+            jnp.asarray([0.0, 0.0, 3.0]), jnp.asarray(bg),
+            height=128, width=128, focal=300.0, window=64))
+        assert img.shape == (128, 128, 3)
+        assert img[0, 0].max() == 0.0         # background kept
+        assert img.max() > 0.1                # body visible
+
+    def test_batch_matches_single(self):
+        av = _sphere_avatar()
+        bg = jnp.ones((64, 64, 3), jnp.float32)
+        v = jnp.asarray(np.stack([av.v_template, av.v_template * 1.01]),
+                        jnp.float32)
+        batch = np.asarray(video_lib.render_frames(
+            v, jnp.asarray(av.faces), jnp.asarray(av.color, jnp.float32),
+            jnp.asarray([0.0, 0.0, 3.0]), bg,
+            height=64, width=64, focal=150.0, window=64))
+        single = np.asarray(video_lib.render_frame(
+            v[0], jnp.asarray(av.faces), jnp.asarray(av.color, jnp.float32),
+            jnp.asarray([0.0, 0.0, 3.0]), bg,
+            height=64, width=64, focal=150.0, window=64))
+        np.testing.assert_allclose(batch[0], single, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestAnimatePipeline:
+    def test_animate_video_writes_mp4(self, tmp_path):
+        av = _sphere_avatar()
+        rng = np.random.default_rng(3)
+        clip = motion_lib.MotionClip(
+            poses=rng.normal(scale=0.05, size=(6, 24, 3)),
+            trans=np.zeros((6, 3)), fps=30.0)
+        out = str(tmp_path / "out.mp4")
+        animate_lib.animate_video(
+            av, clip, out, size=64, focal=150.0,
+            cam_t=np.array([0.0, 0.0, 3.0]), chunk=4)
+        assert os.path.exists(out)
+        assert os.path.getsize(out) > 500
+
+    def test_animate_from_files(self, tmp_path):
+        av = _sphere_avatar()
+        avp = str(tmp_path / "avatar.pkl")
+        rigging.save_avatar(avp, av)
+        clipp = str(tmp_path / "result.pkl")
+        motion_lib.save_mixamo(
+            clipp, np.zeros((4, 24, 3)), fps=30.0)
+        out = animate_lib.animate_from_mixamo(
+            avp, clipp, str(tmp_path / "v.mp4"), size=64, focal=150.0,
+            cam_t=np.array([0.0, 0.0, 3.0]), chunk=2)
+        assert os.path.exists(out)

@@ -1,0 +1,99 @@
+"""Animation pipeline: rigged avatar + motion clip -> rendered MP4.
+
+Capability parity with the reference video drivers
+(lib/model2video.py:476-604 main_or/View_mesh and
+lib/model2video_miaxmo.py:485-599), re-designed for TPU throughput:
+
+  * skinning for ALL frames runs as one batched program
+    (core.lbs.skin_batch) instead of a per-frame python loop,
+  * frames render in fixed-size chunks through the jitted batch renderer
+    (render.video.render_frames) — chunking bounds VMEM while keeping the
+    compiled program static-shaped,
+  * multi-chip: ``animate_video(..., mesh=...)`` shards the frame axis over
+    a ``jax.sharding`` mesh; XLA all-gathers the rendered frames back for
+    host-side muxing (ICI traffic only — SURVEY.md §5 "distributed").
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpubody.dist import mesh as mesh_lib
+from tpubody.io import motion as motion_lib
+from tpubody.mesh import rigging
+from tpubody.render import video as video_lib
+
+
+def animate_video(
+    avatar: rigging.RiggedAvatar,
+    clip: motion_lib.MotionClip,
+    out_path: str,
+    background: Optional[np.ndarray] = None,
+    cam_t: np.ndarray = (0.0, 0.0, 2.5),
+    size: int = video_lib.DEFAULT_SIZE,
+    focal: float = video_lib.DEFAULT_FOCAL,
+    fps: Optional[float] = None,
+    stride: int = 1,
+    chunk: int = 8,
+    mesh=None,
+) -> str:
+    """Render the avatar driven by the clip into an MP4 at ``out_path``."""
+    poses = clip.poses[::stride]
+    trans = clip.trans[::stride]
+    F = poses.shape[0]
+    if background is None:
+        background = np.ones((size, size, 3), np.float32)
+    bg = jnp.asarray(background, jnp.float32)
+    if bg.shape[:2] != (size, size):
+        raise ValueError("background must match the frame size")
+
+    colors = np.asarray(avatar.color, np.float64)
+    if colors.max() > 1.0 + 1e-6:
+        colors = colors / 255.0
+    colors_j = jnp.asarray(colors, jnp.float32)
+    faces_j = jnp.asarray(avatar.faces, jnp.int32)
+    cam = jnp.asarray(np.asarray(cam_t), jnp.float32)
+
+    # All-frame skinning in one program.
+    verts_all = rigging.animate(avatar, poses, trans)
+
+    if mesh is not None:
+        verts_all = mesh_lib.shard_frames(verts_all, mesh)
+
+    writer = video_lib.VideoWriter(
+        out_path, fps=fps or (clip.fps / stride), size=(size, size))
+    with writer:
+        for s in range(0, F, chunk):
+            block = verts_all[s:s + chunk]
+            n = block.shape[0]
+            if n < chunk:  # pad to the compiled chunk shape
+                block = jnp.concatenate(
+                    [block, jnp.repeat(block[-1:], chunk - n, axis=0)], axis=0)
+            frames = video_lib.render_frames(
+                block, faces_j, colors_j, cam, bg,
+                height=size, width=size, focal=focal)
+            frames_np = np.asarray(frames)  # device->host (gathers shards)
+            for i in range(n):
+                writer.write(frames_np[i])
+    return out_path
+
+
+def animate_from_amass(avatar_path: str, amass_path: str, out_path: str,
+                       stride: int = 2, **kw) -> str:
+    """Reference main_or parity (lib/model2video.py:533-553; frame stride 2
+    :514-522)."""
+    avatar = rigging.load_avatar(avatar_path)
+    clip = motion_lib.read_amass(amass_path)
+    return animate_video(avatar, clip, out_path, stride=stride, **kw)
+
+
+def animate_from_mixamo(avatar_path: str, mixamo_path: str, out_path: str,
+                        **kw) -> str:
+    """Reference model2video_miaxmo main_or parity (stride 1, :524-533)."""
+    avatar = rigging.load_avatar(avatar_path)
+    clip = motion_lib.read_mixamo(mixamo_path)
+    return animate_video(avatar, clip, out_path, stride=1, **kw)
