@@ -1,0 +1,62 @@
+"""CLI and gen_smplh pipeline smoke tests."""
+import os
+
+import numpy as np
+import pytest
+
+from tpubody.fit import keypoints as kp_lib
+from tpubody.pipelines import gen_smplh as gen_lib
+
+
+def test_load_config_defaults():
+    cfg = gen_lib.load_config(None)
+    assert cfg.focal_length == 5000.0
+    assert len(cfg.body_pose_prior_weights) == 5
+
+
+def test_load_config_yaml_overrides(tmp_path):
+    p = str(tmp_path / "conf.yaml")
+    with open(p, "w") as f:
+        f.write("focal_length: 1234\nmaxiters: 7\n"
+                "shape_weights: [1, 2, 3, 4, 5]\n")
+    cfg = gen_lib.load_config(p)
+    assert cfg.focal_length == 1234
+    assert cfg.maxiters == 7
+    assert cfg.shape_weights == (1, 2, 3, 4, 5)
+
+
+def test_dump_config_roundtrip(tmp_path):
+    cfg = gen_lib.load_config(None, maxiters=11)
+    p = str(tmp_path / "conf.yaml")
+    gen_lib.dump_config(p, cfg)
+    cfg2 = gen_lib.load_config(p)
+    assert cfg2.maxiters == 11
+
+
+@pytest.mark.slow
+def test_gen_smplh_end_to_end(tmp_path):
+    """Tiny synthetic fit through the public pipeline entry."""
+    import cv2
+    from tpubody.models import params as params_lib
+
+    img_path = str(tmp_path / "img.png")
+    cv2.imwrite(img_path, np.zeros((100, 100, 3), np.uint8))
+    kp_path = str(tmp_path / "kp.json")
+    rng = np.random.default_rng(0)
+    body = np.concatenate(
+        [rng.uniform(20, 80, (25, 2)), np.ones((25, 1))], axis=1)
+    kp_lib.write_openpose_json(kp_path, body,
+                               np.zeros((21, 3)), np.zeros((21, 3)))
+
+    model = params_lib.synthetic(n_joints=52, n_verts=500, seed=2)
+    cfg = gen_lib.load_config(None, maxiters=5, focal_length=500.0,
+                              use_vposer=True)
+    out = gen_lib.gen_smplh(img_path, kp_path, str(tmp_path / "out"),
+                            model=model, config=cfg, vposer_ckpt="/nonexistent")
+    assert out.pose.shape == (156,)
+    assert os.path.exists(tmp_path / "out" / "smplh.pkl")
+    assert os.path.exists(tmp_path / "out" / "conf.yaml")
+    # The pickle loads back through the reconstruction-side reader.
+    from tpubody.pipelines import reconstruct as rec
+    fit = rec.load_fit_pickle(str(tmp_path / "out" / "smplh.pkl"))
+    assert np.isfinite(fit.pose).all()

@@ -1,0 +1,221 @@
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpubody.fit import (joints as joints_lib, keypoints as kp_lib,
+                         lbfgs as lbfgs_lib, priors as priors_lib,
+                         smplify, vposer as vposer_lib)
+from tpubody.models import params as params_lib
+from tpubody.models import smpl as smpl_lib
+
+VPOSER_CKPT = "/root/reference/lib/Gen_SMPLH/vposer/snapshots/TR00_E096.pt"
+
+
+class TestPriors:
+    def test_gmof_limits(self):
+        r = jnp.asarray([0.0, 1.0, 1e6])
+        out = np.asarray(priors_lib.gmof(r, rho=100.0))
+        assert out[0] == 0.0
+        assert out[1] < 1.0 + 1e-6          # ~x^2 for small residuals
+        assert abs(out[2] - 100.0 ** 2) < 1.0  # saturates at rho^2
+
+    def test_angle_prior_penalizes_hyperextension(self):
+        pose = np.zeros(69)
+        natural = pose.copy(); natural[52] = -1.0   # left elbow natural bend
+        hyper = pose.copy(); hyper[52] = 1.0
+        pn = np.asarray(priors_lib.angle_prior(jnp.asarray(natural))).sum()
+        ph = np.asarray(priors_lib.angle_prior(jnp.asarray(hyper))).sum()
+        assert ph > pn
+
+    def test_max_mixture_prefers_mean(self):
+        gmm = priors_lib.synthetic_gmm()
+        at_mean = float(priors_lib.max_mixture_prior(
+            jnp.zeros(69), gmm))
+        away = float(priors_lib.max_mixture_prior(
+            jnp.ones(69) * 2.0, gmm))
+        assert away > at_mean
+
+    def test_load_gmm_roundtrip(self, tmp_path):
+        import pickle
+        rng = np.random.default_rng(0)
+        means = rng.normal(size=(4, 6))
+        covars = np.stack([np.eye(6) * (i + 1) for i in range(4)])
+        weights = np.full(4, 0.25)
+        p = str(tmp_path / "gmm.pkl")
+        with open(p, "wb") as f:
+            pickle.dump({"means": means, "covars": covars,
+                         "weights": weights}, f)
+        gmm = priors_lib.load_gmm(p)
+        # At a component mean the mahalanobis term vanishes.
+        v = float(priors_lib.max_mixture_prior(
+            jnp.asarray(means[0], jnp.float32), gmm))
+        exp0 = float(gmm.log_norm[0])
+        assert v <= exp0 + 1e-4
+
+
+class TestKeypoints:
+    def test_json_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        body = rng.uniform(0, 100, (25, 3))
+        lh = rng.uniform(0, 100, (21, 3))
+        rh = rng.uniform(0, 100, (21, 3))
+        p = str(tmp_path / "kp.json")
+        kp_lib.write_openpose_json(p, body, lh, rh)
+        kp = kp_lib.read_openpose_json(p)
+        assert kp.keypoints.shape == (67, 3)
+        np.testing.assert_allclose(kp.keypoints[:25], body)
+        np.testing.assert_allclose(kp.keypoints[25:46], lh)
+
+    def test_reference_fixture_parses(self):
+        path = "/root/reference/data/tests/test01/0_keypoints.json"
+        if not os.path.exists(path):
+            pytest.skip("reference fixture not available")
+        kp = kp_lib.read_openpose_json(path)
+        assert kp.keypoints.shape == (67, 3)
+        assert kp.keypoints[:, 2].max() <= 1.1  # OpenPose conf can slightly exceed 1
+        assert (kp.keypoints[:, :2] >= 0).any()
+
+    def test_joint_weights_ignores(self):
+        w = kp_lib.joint_weights((1, 9, 12), use_hands=True)
+        assert w.shape == (67,)
+        assert w[1] == 0 and w[9] == 0 and w[12] == 0
+        assert w.sum() == 64
+
+    def test_mapping_shape(self):
+        m = kp_lib.smplh_to_openpose(True)
+        assert m.shape == (67,)
+        assert m.max() == 72
+        # Every openpose slot gets a distinct smplh joint.
+        assert len(np.unique(m)) >= 60
+
+
+class TestVPoser:
+    def test_decoder_outputs_rotations(self):
+        dec, params = vposer_lib.create_decoder()
+        z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32)),
+                        jnp.float32)
+        R = np.asarray(dec.apply(params, z))
+        assert R.shape == (2, 21, 3, 3)
+        RtR = R.reshape(-1, 3, 3) @ np.transpose(R.reshape(-1, 3, 3),
+                                                 (0, 2, 1))
+        np.testing.assert_allclose(
+            RtR, np.broadcast_to(np.eye(3), RtR.shape), atol=1e-5)
+
+    @pytest.mark.skipif(not os.path.exists(VPOSER_CKPT),
+                        reason="reference VPoser snapshot unavailable")
+    def test_real_checkpoint_matches_numpy_oracle(self):
+        """Convert TR00_E096.pt and compare the Flax decoder against an
+        independent numpy forward of the same weights."""
+        dec_params, enc_params = vposer_lib.load_torch_checkpoint(VPOSER_CKPT)
+        dec = vposer_lib.VPoserDecoder()
+        rng = np.random.default_rng(2)
+        z = rng.normal(size=(3, 32)).astype(np.float32)
+        got = np.asarray(dec.apply(dec_params, jnp.asarray(z)))
+
+        # numpy oracle of the torch decoder (vposer_smpl.py:101-117)
+        p = dec_params["params"]
+        def leaky(x): return np.where(x > 0, x, 0.2 * x)
+        h = leaky(z @ p["fc1"]["kernel"] + p["fc1"]["bias"])
+        h = leaky(h @ p["fc2"]["kernel"] + p["fc2"]["bias"])
+        out = (h @ p["out"]["kernel"] + p["out"]["bias"]).reshape(-1, 3, 2)
+        b1 = out[:, :, 0] / np.linalg.norm(out[:, :, 0], axis=1,
+                                           keepdims=True)
+        dot = np.sum(b1 * out[:, :, 1], axis=1, keepdims=True)
+        b2u = out[:, :, 1] - dot * b1
+        b2 = b2u / np.linalg.norm(b2u, axis=1, keepdims=True)
+        b3 = np.cross(b1, b2)
+        want = np.stack([b1, b2, b3], axis=-1).reshape(3, 21, 3, 3)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    @pytest.mark.skipif(not os.path.exists(VPOSER_CKPT),
+                        reason="reference VPoser snapshot unavailable")
+    def test_real_checkpoint_encoder_runs(self):
+        dec_params, enc_params = vposer_lib.load_torch_checkpoint(VPOSER_CKPT)
+        enc = vposer_lib.VPoserEncoder()
+        mu, scale = enc.apply(enc_params, jnp.zeros((1, 63)))
+        assert mu.shape == (1, 32)
+        assert np.isfinite(np.asarray(mu)).all()
+        assert (np.asarray(scale) > 0).all()
+
+
+class TestJoints:
+    def test_openpose_joints_shape(self):
+        model = params_lib.synthetic(n_joints=52, n_verts=431, seed=0)
+        state = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+        j = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        assert j.shape == (67, 3)
+
+    def test_body_map_wrists(self):
+        """OpenPose wrists (slots 4/7) map to SMPLH joints 21/20."""
+        m = kp_lib.smplh_to_openpose(False)
+        assert m[4] == 21 and m[7] == 20
+
+
+class TestSmplify:
+    @pytest.mark.slow
+    def test_fit_recovers_synthetic_truth(self):
+        """Generate keypoints from known params; fitting must reduce the
+        reprojection error far below the zero-pose baseline."""
+        model = params_lib.synthetic(n_joints=52, n_verts=700, seed=1)
+        dec, dec_params = vposer_lib.create_decoder(jax.random.PRNGKey(3))
+
+        rng = np.random.default_rng(4)
+        z_true = jnp.asarray(rng.normal(scale=0.5, size=(32,)), jnp.float32)
+        body63 = vposer_lib.decode_to_axis_angle(dec, dec_params,
+                                                 z_true[None])[0]
+        pose = jnp.concatenate(
+            [jnp.zeros(3), body63, jnp.zeros(90)]).reshape(52, 3)
+        betas_true = jnp.asarray(rng.normal(scale=0.3, size=(10,)),
+                                 jnp.float32)
+        cam_t_true = jnp.asarray([0.05, -0.1, 6.0])
+        center = np.array([200.0, 200.0])
+        focal = 1500.0
+
+        state = smpl_lib.forward(model, pose, betas_true)
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        proj = np.asarray(smplify._project(j3, cam_t_true, focal,
+                                           jnp.asarray(center)))
+        kps = np.concatenate([proj, np.ones((67, 1))], axis=1)
+
+        cfg = smplify.FitConfig(
+            focal_length=focal, maxiters=25, use_hands=True,
+            try_both_orient=False)
+        out = smplify.fit_frame(model, kps, center, cfg,
+                                dec_params=dec_params)
+
+        # Baseline error: zero-pose projection at the init camera.
+        state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+        j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed)
+        base = np.asarray(smplify._project(
+            j0, jnp.asarray([0, 0, 6.0]), focal, jnp.asarray(center)))
+        base_err = np.linalg.norm(base - proj, axis=1).mean()
+
+        fit_pose = jnp.asarray(out.pose.reshape(52, 3), jnp.float32)
+        fit_state = smpl_lib.forward(
+            model, fit_pose, jnp.asarray(out.shape, jnp.float32))
+        jf = joints_lib.openpose_joints(fit_state.verts,
+                                        fit_state.joints_posed)
+        fit_proj = np.asarray(smplify._project(
+            jf, jnp.asarray(out.camera_translation, jnp.float32), focal,
+            jnp.asarray(center)))
+        fit_err = np.linalg.norm(fit_proj - proj, axis=1).mean()
+
+        assert np.isfinite(out.loss)
+        assert fit_err < 0.35 * base_err, (fit_err, base_err)
+
+    def test_guess_init_depth_scales_with_distance(self):
+        j3 = jnp.asarray(np.random.default_rng(5).normal(size=(67, 3)),
+                         jnp.float32)
+        j2_near = np.zeros((67, 2)); j2_far = np.zeros((67, 2))
+        for a, b in ((5, 12), (2, 9)):
+            j2_near[a] = [0, 0]; j2_near[b] = [0, 200]
+            j2_far[a] = [0, 0]; j2_far[b] = [0, 100]
+        d_near = float(smplify.guess_init_depth(
+            j3, jnp.asarray(j2_near, jnp.float32), ((5, 12), (2, 9)), 5000.0))
+        d_far = float(smplify.guess_init_depth(
+            j3, jnp.asarray(j2_far, jnp.float32), ((5, 12), (2, 9)), 5000.0))
+        assert d_far > d_near  # smaller on screen -> farther away

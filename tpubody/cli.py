@@ -1,0 +1,97 @@
+"""Command-line interface: the reference's three entry points.
+
+  tpubody gen-smplh  <img> <keypoints.json> <out_dir>   (lib/gen_smplh.py)
+  tpubody reconstruct <test_dir> [--out <dir>]          (main.py)
+  tpubody animate     <avatar.pkl> <clip> <out.mp4>     (lib/model2video*.py)
+
+Run as ``python -m tpubody.cli <command> ...``.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _cmd_gen_smplh(args) -> int:
+    from tpubody.pipelines import gen_smplh
+    fit = gen_smplh.gen_smplh(args.img, args.keypoints, args.out,
+                              config_yaml=args.config)
+    print(f"wrote {os.path.join(args.out, 'smplh.pkl')}  "
+          f"(loss artifacts alongside)")
+    return 0
+
+
+def _cmd_reconstruct(args) -> int:
+    from tpubody.models import params as params_lib
+    from tpubody.pipelines import reconstruct as rec
+    from tpubody.utils.profiling import StageTimer
+
+    front, back, mask, fit = rec.load_test_dir(args.path)
+    out_dir = args.out or args.path
+
+    def load_or_synth(kind, n_joints):
+        p = params_lib.default_model_path(kind)
+        if p:
+            return params_lib.load(p)
+        return params_lib.synthetic(n_joints=n_joints, n_verts=6890, seed=0)
+
+    timer = StageTimer()
+    rec.reconstruct(front, back, mask, fit,
+                    load_or_synth("smplh", 52), load_or_synth("smpl", 24),
+                    out_dir=out_dir, replace_hands=args.replace_hands,
+                    timer=timer)
+    print(timer.report())
+    print(f"wrote avatar + mesh artifacts to {out_dir}")
+    return 0
+
+
+def _cmd_animate(args) -> int:
+    from tpubody.pipelines import animate
+
+    kw = dict(size=args.size, fps=args.fps,
+              cam_t=np.asarray([0.0, 0.0, args.cam_z]))
+    if args.clip.endswith(".npz"):
+        animate.animate_from_amass(args.avatar, args.clip, args.out,
+                                   stride=args.stride, **kw)
+    else:
+        animate.animate_from_mixamo(args.avatar, args.clip, args.out, **kw)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="tpubody")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("gen-smplh", help="fit SMPLH to keypoints")
+    p.add_argument("img")
+    p.add_argument("keypoints")
+    p.add_argument("out")
+    p.add_argument("--config", default=None, help="YAML config overrides")
+    p.set_defaults(fn=_cmd_gen_smplh)
+
+    p = sub.add_parser("reconstruct", help="full single-image reconstruction")
+    p.add_argument("path", help="fixture dir with front/back/mask/smplh.pkl")
+    p.add_argument("--out", default=None)
+    p.add_argument("--replace-hands", action="store_true")
+    p.set_defaults(fn=_cmd_reconstruct)
+
+    p = sub.add_parser("animate", help="render avatar + motion clip to MP4")
+    p.add_argument("avatar", help="rigged avatar pickle (or_recover.pkl)")
+    p.add_argument("clip", help="AMASS .npz or Mixamo result.pkl")
+    p.add_argument("out", help="output .mp4")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--fps", type=float, default=None)
+    p.add_argument("--stride", type=int, default=2)
+    p.add_argument("--cam-z", type=float, default=2.5)
+    p.set_defaults(fn=_cmd_animate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,6 +13,7 @@ All functions operate on arbitrary leading batch dimensions and are pure
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
@@ -98,10 +99,16 @@ def rot6d_to_rotmat(x: jnp.ndarray) -> jnp.ndarray:
     """
     m = x.reshape(x.shape[:-1] + (3, 2))
     a1, a2 = m[..., 0], m[..., 1]
-    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True).clip(_EPS)
+
+    # sqrt(sum^2 + eps) instead of norm().clip(): norm has a NaN gradient at
+    # exactly 0 (e.g. a freshly-initialized VPoser decoder at z=0), which
+    # would poison L-BFGS fitting.
+    def _safe_normalize(v):
+        return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + _EPS)
+
+    b1 = _safe_normalize(a1)
     proj = jnp.sum(b1 * a2, axis=-1, keepdims=True)
-    b2u = a2 - proj * b1
-    b2 = b2u / jnp.linalg.norm(b2u, axis=-1, keepdims=True).clip(_EPS)
+    b2 = _safe_normalize(a2 - proj * b1)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 
