@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from tpubody.mesh import grid_mesh, hands, slicing
+
+
+def _tube(radius=0.3, x0=-2.0, x1=2.0, n_ax=24, n_circ=16, color=(200, 50, 50)):
+    """Open cylinder along x with attribute block [xyz, rgb, w24]."""
+    xs = np.linspace(x0, x1, n_ax)
+    th = np.linspace(0, 2 * np.pi, n_circ, endpoint=False)
+    verts = []
+    for x in xs:
+        for t in th:
+            verts.append([x, radius * np.cos(t), radius * np.sin(t)])
+    verts = np.asarray(verts)
+    faces = []
+    for i in range(n_ax - 1):
+        for j in range(n_circ):
+            a = i * n_circ + j
+            b = i * n_circ + (j + 1) % n_circ
+            c = (i + 1) * n_circ + j
+            d = (i + 1) * n_circ + (j + 1) % n_circ
+            faces.append([a, b, c]); faces.append([b, d, c])
+    faces = np.asarray(faces, np.int64)
+    attrs = np.zeros((verts.shape[0], 3 + 3 + 24))
+    attrs[:, :3] = verts
+    attrs[:, 3:6] = color
+    attrs[:, 6] = 1.0  # all weight on joint 0
+    return attrs, faces
+
+
+def _joints(spread=1.6):
+    J = np.zeros((24, 3))
+    J[1] = [-0.2, 0, 0]; J[2] = [0.2, 0, 0]
+    J[18] = [-1.2, 0, 0]; J[19] = [1.2, 0, 0]
+    J[20] = [-spread, 0, 0]; J[21] = [spread, 0, 0]
+    J[22] = [-1.8, 0, 0]; J[23] = [1.8, 0, 0]
+    return J
+
+
+class TestSectionRing:
+    def test_tube_ring(self):
+        pts, faces = _tube()
+        ring = slicing.section_ring(pts[:, :3], faces, [0.5, 0, 0], [1, 0, 0])
+        assert ring.shape[0] >= 8
+        np.testing.assert_allclose(ring[:, 0], 0.5, atol=1e-6)
+        r = np.linalg.norm(ring[:, 1:], axis=1)
+        np.testing.assert_allclose(r, 0.3, atol=1e-2)
+
+    def test_ring_length_circle(self):
+        th = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+        ring = np.stack([np.cos(th), np.sin(th), np.zeros(64)], axis=1)
+        assert abs(slicing.ring_length(ring) - 2 * np.pi) < 0.02
+
+
+class TestReplaceHandsMesh:
+    def _run(self):
+        body, bf = _tube(radius=0.3, color=(200, 50, 50))
+        smpl, sf = _tube(radius=0.25, color=(125, 125, 125))
+        J = _joints()
+        sJ = _joints()
+        return hands.replace_hands_mesh(body, bf, J, smpl, sf, sJ)
+
+    def test_runs_and_finite(self):
+        res = self._run()
+        assert np.isfinite(res.points).all()
+        assert res.faces.min() >= 0
+        assert res.faces.max() < res.points.shape[0]
+        assert res.joints.shape == (24, 3)
+
+    def test_bands_connect_components(self):
+        res = self._run()
+        # The grafted mesh's open boundary count must be bounded: the two
+        # bridge bands close the wrist cuts (tube ends remain open: 4 rims
+        # from body+hands tube ends).
+        be = grid_mesh.boundary_edges(res.faces)
+        body, bf = _tube()
+        body_open = grid_mesh.boundary_edges(bf).shape[0]
+        # body tube alone has 2 open rims (2*n_circ edges); result should
+        # not have grown per-wrist open boundaries beyond the tube rims.
+        assert be.shape[0] <= 3 * body_open
+
+    def test_hand_recolored(self):
+        res = self._run()
+        # Hand vertices (|x| > 1.7) carry the body's wrist color, not the
+        # SMPL grey.
+        hand_sel = np.abs(res.points[:, 0]) > 1.75
+        assert hand_sel.any()
+        assert not np.any(res.points[hand_sel, 3:6] == 125.0)
+
+    def test_wrist_joints_updated(self):
+        res = self._run()
+        J = _joints()
+        assert not np.allclose(res.joints[20], J[20])
+        assert not np.allclose(res.joints[22], J[22])
+        # Wrist stays near the cut plane x ~ -1.5.
+        assert -1.9 < res.joints[20][0] < -1.0
+
+
+class TestCutTracking:
+    def test_track_survives_second_cut(self):
+        pts, faces = _tube()
+        c1 = slicing.cut_faces_plane(pts, faces, [-1.0, 0, 0], [1, 0, 0])
+        assert c1.boundary.shape[0] > 4
+        c2 = slicing.cut_faces_plane(c1.points, c1.faces, [1.0, 0, 0],
+                                     [-1, 0, 0], track=c1.boundary)
+        assert c2.tracked is not None
+        # Tracked indices still sit on the x = -1 plane.
+        np.testing.assert_allclose(
+            c2.points[c2.tracked][:, 0], -1.0, atol=1e-6)

@@ -101,10 +101,11 @@ class CutResult(NamedTuple):
     points: np.ndarray        # (N', 3 + C) kept + newly created points
     faces: np.ndarray         # (F', 3)
     boundary: np.ndarray      # indices (into points) of new cut-edge points
+    tracked: Optional[np.ndarray] = None  # remapped external indices
 
 
-def cut_faces_plane(points: np.ndarray, faces: np.ndarray, origin, normal
-                    ) -> CutResult:
+def cut_faces_plane(points: np.ndarray, faces: np.ndarray, origin, normal,
+                    track: Optional[np.ndarray] = None) -> CutResult:
     """Cut an attribute mesh by a plane, keeping the positive side.
 
     Attribute-carrying redesign of the reference's slice_faces_plane
@@ -175,8 +176,77 @@ def cut_faces_plane(points: np.ndarray, faces: np.ndarray, origin, normal
     out_points = all_points[used]
     out_boundary = np.asarray(
         [remap[b] for b in boundary_ids if b in remap], np.int64)
+    out_tracked = None
+    if track is not None:
+        out_tracked = np.asarray(
+            [remap[int(t)] for t in track if int(t) in remap], np.int64)
     return CutResult(points=out_points, faces=out_faces,
-                     boundary=out_boundary)
+                     boundary=out_boundary, tracked=out_tracked)
+
+
+def section_ring(verts: np.ndarray, faces: np.ndarray, origin, normal,
+                 near: Optional[np.ndarray] = None) -> np.ndarray:
+    """Ordered closed polyline of a plane cross-section.
+
+    Chains the per-face intersection segments into loops by endpoint
+    adjacency and returns the loop whose centroid is closest to ``near``
+    (trimesh ``mesh.section`` + discrete-path parity, used for the wrist
+    rings in lib/Replace_Hands.py:678-691).
+    """
+    segs, _ = section_segments(verts, faces, origin, normal)
+    if segs.shape[0] == 0:
+        return np.zeros((0, 3))
+    # Merge endpoints by rounding to tolerance.
+    pts = segs.reshape(-1, 3)
+    key = np.round(pts / 1e-6).astype(np.int64)
+    _, uniq_idx, inverse = np.unique(key, axis=0, return_index=True,
+                                     return_inverse=True)
+    upts = pts[uniq_idx]
+    edges = inverse.reshape(-1, 2)
+
+    # Adjacency walk.
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+
+    visited = set()
+    loops = []
+    for start in adj:
+        if start in visited:
+            continue
+        loop = [start]
+        visited.add(start)
+        prev, cur = -1, start
+        for _ in range(len(adj) + 1):
+            nxts = [v for v in adj[cur] if v != prev and v not in visited]
+            if not nxts:
+                break
+            nxt = nxts[0]
+            loop.append(nxt)
+            visited.add(nxt)
+            prev, cur = cur, nxt
+        if len(loop) >= 3:
+            loops.append(np.asarray(loop))
+    if not loops:
+        return np.zeros((0, 3))
+    if near is None or len(loops) == 1:
+        loop = max(loops, key=len)
+    else:
+        near = np.asarray(near)
+        loop = min(loops, key=lambda l: np.linalg.norm(
+            upts[l].mean(axis=0) - near))
+    return upts[loop]
+
+
+def ring_length(ring: np.ndarray) -> float:
+    """Closed polyline circumference."""
+    if ring.shape[0] < 2:
+        return 0.0
+    closed = np.vstack([ring, ring[:1]])
+    return float(np.linalg.norm(np.diff(closed, axis=0), axis=1).sum())
 
 
 def _oriented(tri, a, b) -> bool:
