@@ -1,0 +1,154 @@
+"""Pallas TPU kernel: fused batched LBS skinning.
+
+The batched SMPL forward (BASELINE "SMPL LBS poses/sec") decomposes into
+  (a) tiny per-frame work: Rodrigues + the 24-step FK chain -> G_rel,
+  (b) heavy per-vertex work: pose blendshapes, per-vertex blend transforms
+      T = W @ G, and T applied to vertices.
+
+(a) stays in XLA (24 sequential 4x4 matmuls — no kernel can help).
+(b) is HBM-bound when left to XLA: the (F, V, 16) blend-transform tensor
+and the (F, V, 3) blendshaped vertices round-trip through HBM between ops.
+This kernel fuses all of (b) for a (frame-tile, vertex-tile) grid cell:
+
+  * blendshaped vertices via (TF, P+1) x (P+1, TV) MXU matmuls per
+    coordinate — the shaped template rides along as a constant feature
+    (ones column x v_shaped row), so no separate vertex-position input,
+  * blend transforms for the whole tile with ONE (16*TF, J) x (J, TV)
+    matmul whose rows are (component, frame) pairs — each of the 12 needed
+    transform entries is then a contiguous (TF, TV) slab,
+  * T applied on the VPU; output written channel-planar (3, F, V).
+
+Everything is frames-major: no in-kernel transposes or lane-splitting
+reshapes (Mosaic rejects those), and every block's last dim is either
+128-aligned (TV) or the full array dimension.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpubody.core import lbs as lbs_lib
+from tpubody.core.rotations import rodrigues
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_kernel(wT_ref, pdxT_ref, pdyT_ref, pdzT_ref, g_ref, f_ref,
+                  out_ref):
+    f32 = jnp.float32
+    feat = f_ref[...]                       # (TF, P+1), last col = 1
+    vx = jnp.dot(feat, pdxT_ref[...], preferred_element_type=f32)  # (TF, TV)
+    vy = jnp.dot(feat, pdyT_ref[...], preferred_element_type=f32)
+    vz = jnp.dot(feat, pdzT_ref[...], preferred_element_type=f32)
+
+    # (16*TF, J) @ (J, TV) -> (16*TF, TV); rows ordered (k, frame).
+    Tt = jnp.dot(g_ref[...], wT_ref[...], preferred_element_type=f32)
+    TF = feat.shape[0]
+
+    def c(k):
+        return Tt[k * TF:(k + 1) * TF]      # (TF, TV)
+
+    out_ref[0] = c(0) * vx + c(1) * vy + c(2) * vz + c(3)
+    out_ref[1] = c(4) * vx + c(5) * vy + c(6) * vz + c(7)
+    out_ref[2] = c(8) * vx + c(9) * vy + c(10) * vz + c(11)
+
+
+@functools.partial(jax.jit, static_argnames=("parents", "frame_tile",
+                                             "vert_tile"))
+def lbs_forward_batch_fused(
+    v_template: jnp.ndarray,    # (V, 3)
+    shapedirs: jnp.ndarray,     # (V, 3, S)
+    posedirs: jnp.ndarray,      # (V, 3, P) with P = 9*(J-1)
+    j_regressor: jnp.ndarray,   # (J, V)
+    weights: jnp.ndarray,       # (V, J)
+    parents: Tuple[int, ...],
+    poses: jnp.ndarray,         # (F, J, 3) axis-angle
+    beta: jnp.ndarray,          # (S,) shared shape
+    trans: Optional[jnp.ndarray] = None,   # (F, 3)
+    frame_tile: int = 16,
+    vert_tile: int = 512,
+) -> jnp.ndarray:
+    """Batched LBS verts via the fused Pallas kernel -> (F, V, 3)."""
+    F, J = poses.shape[0], poses.shape[1]
+    V = v_template.shape[0]
+    P = posedirs.shape[-1]
+    prec = jax.lax.Precision.HIGHEST
+
+    # --- XLA prologue: shape blendshapes, joints, FK (tiny) -------------
+    v_shaped = v_template + jnp.einsum(
+        "vcs,s->vc", shapedirs, beta, precision=prec)
+    joints = jnp.einsum("jv,vc->jc", j_regressor, v_shaped, precision=prec)
+
+    R = rodrigues(poses)                                # (F, J, 3, 3)
+    pose_feat = (R[:, 1:] - jnp.eye(3, dtype=R.dtype)).reshape(F, P)
+
+    def fk(Rf):
+        G = lbs_lib.forward_kinematics(Rf, joints, parents)
+        return lbs_lib.remove_rest_pose(G, joints)
+    G_rel = jax.vmap(fk)(R)                             # (F, J, 4, 4)
+
+    # --- frames-major kernel layouts ------------------------------------
+    TF, TV = frame_tile, vert_tile
+    Fp = _round_up(F, TF)
+    Vp = _round_up(V, TV)
+
+    def padF(x):
+        return jnp.pad(x, [(0, Fp - F)] + [(0, 0)] * (x.ndim - 1))
+
+    def padVlast(x):   # pad the LAST axis to Vp
+        pads = [(0, 0)] * (x.ndim - 1) + [(0, Vp - V)]
+        return jnp.pad(x, pads)
+
+    # Transposed per-channel posedirs with the shaped template folded in as
+    # an extra constant feature row: (P+1, Vp).
+    def pd_chan(c):
+        return padVlast(jnp.concatenate(
+            [posedirs[:, c, :], v_shaped[:, c:c + 1]], axis=1).T)
+
+    pdxT, pdyT, pdzT = pd_chan(0), pd_chan(1), pd_chan(2)
+    wT = padVlast(weights.T)                            # (J, Vp)
+    feat = jnp.concatenate(
+        [padF(pose_feat), jnp.ones((Fp, 1), pose_feat.dtype)], axis=1)
+
+    # G rows ordered (frame-tile, component k, frame-in-tile): each kernel
+    # block is a contiguous (16*TF, J) slab with contiguous per-component
+    # (TF, TV) slabs after the matmul.
+    g = padF(G_rel.reshape(F, J, 16))                   # (Fp, J, 16)
+    g = g.reshape(Fp // TF, TF, J, 16)
+    g = jnp.transpose(g, (0, 3, 1, 2)).reshape(Fp * 16, J)
+
+    grid = (Fp // TF, Vp // TV)
+    out = pl.pallas_call(
+        _fused_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((J, TV), lambda f, v: (0, v),
+                         memory_space=pltpu.VMEM),       # weights^T
+            pl.BlockSpec((P + 1, TV), lambda f, v: (0, v),
+                         memory_space=pltpu.VMEM),       # pdx^T
+            pl.BlockSpec((P + 1, TV), lambda f, v: (0, v),
+                         memory_space=pltpu.VMEM),       # pdy^T
+            pl.BlockSpec((P + 1, TV), lambda f, v: (0, v),
+                         memory_space=pltpu.VMEM),       # pdz^T
+            pl.BlockSpec((16 * TF, J), lambda f, v: (f, 0),
+                         memory_space=pltpu.VMEM),       # G
+            pl.BlockSpec((TF, P + 1), lambda f, v: (f, 0),
+                         memory_space=pltpu.VMEM),       # pose feat
+        ],
+        out_specs=pl.BlockSpec((3, TF, TV), lambda f, v: (0, f, v),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, Fp, Vp), jnp.float32),
+    )(wT, pdxT, pdyT, pdzT, g, feat)
+
+    verts = jnp.transpose(out, (1, 2, 0))[:F, :V]
+    if trans is not None:
+        verts = verts + trans[:, None, :]
+    return verts

@@ -78,12 +78,16 @@ def match_boundaries(
     final_row, args = _dp_tables(dist, k)
     m = rb.shape[0]
 
-    # Backtrack (host: m is small and this is trace-order sequential).
+    # Backtrack (host-sequential; native C++ when built, Python fallback).
     args_np = np.asarray(args)                     # (m-1, n)
     j = int(np.argmin(np.asarray(final_row)))
-    out = [j]
-    for i in range(m - 2, -1, -1):
-        j = int(args_np[i, j])
-        out.append(j)
-    match = np.asarray(out[::-1], np.int64)
+
+    from tpubody import native
+    match = native.dp_backtrack(args_np, j)
+    if match is None:
+        out = [j]
+        for i in range(m - 2, -1, -1):
+            j = int(args_np[i, j])
+            out.append(j)
+        match = np.asarray(out[::-1], np.int64)
     return np.clip(match, 0, smpl_bound.shape[0] - 1)

@@ -28,7 +28,15 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
     Returns:
       (N, 2) int array of ordered boundary points as (x, y) — the same
       (w, h) column convention as the reference contours (lib/Warp.py:30-31).
+
+    Uses the native C++ tracer (tpubody/native/geometry.cpp) when built;
+    this Python implementation is the behavioral reference and fallback.
     """
+    from tpubody import native
+    fast = native.trace_boundary(mask)
+    if fast is not None:
+        return fast
+
     m = np.asarray(mask) != 0
     H, W = m.shape
     pad = np.zeros((H + 2, W + 2), bool)

@@ -131,6 +131,12 @@ def boundary_ring(faces: np.ndarray) -> np.ndarray:
     lib/Depth2Mesh_Bspline.py:196-234).
     """
     be = boundary_edges(faces)
+
+    from tpubody import native
+    fast = native.boundary_ring_walk(be)
+    if fast is not None and fast.shape[0] >= 3:
+        return fast
+
     succ: Dict[int, List[int]] = {}
     for a, b in be:
         succ.setdefault(int(a), []).append(int(b))

@@ -1,0 +1,132 @@
+// tpubody native host-geometry library.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library covers the
+// *inherently sequential host-side* pieces of the pipeline that Python
+// loops handle slowly and XLA's static shapes cannot express:
+//
+//   * Moore-neighbor silhouette boundary tracing
+//     (tpubody/image/contours.py trace_boundary; the reference leans on
+//     cv2.findContours, lib/Warp.py:55,78),
+//   * ordered mesh boundary-ring walking over once-only edges
+//     (tpubody/mesh/grid_mesh.py boundary_ring; the reference's O(n^2)
+//     np.delete walk, lib/Depth2Mesh_Bspline.py:196-234),
+//   * monotone-DP backtracking for boundary matching.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+// Build: tpubody/native/build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Moore-neighbor boundary tracing on a binary mask (row-major, H x W).
+// Writes up to max_pts (x, y) pairs into out_xy; returns the count
+// (0 if the mask is empty, -1 if out_xy is too small).
+// ---------------------------------------------------------------------------
+int64_t trace_boundary(const uint8_t* mask, int64_t H, int64_t W,
+                       int64_t* out_xy, int64_t max_pts) {
+  const int64_t PH = H + 2, PW = W + 2;
+  std::vector<uint8_t> pad(static_cast<size_t>(PH * PW), 0);
+  for (int64_t y = 0; y < H; ++y)
+    for (int64_t x = 0; x < W; ++x)
+      pad[(y + 1) * PW + (x + 1)] = mask[y * W + x] ? 1 : 0;
+
+  // First foreground pixel in scan order.
+  int64_t sy = -1, sx = -1;
+  for (int64_t i = 0; i < PH * PW; ++i) {
+    if (pad[i]) { sy = i / PW; sx = i % PW; break; }
+  }
+  if (sy < 0) return 0;
+
+  // Clockwise Moore neighborhood starting W (must match contours.py).
+  static const int dx[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+  static const int dy[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+
+  int64_t count = 0;
+  auto emit = [&](int64_t y, int64_t x) -> bool {
+    if (count >= max_pts) return false;
+    out_xy[2 * count] = x - 1;
+    out_xy[2 * count + 1] = y - 1;
+    ++count;
+    return true;
+  };
+  if (!emit(sy, sx)) return -1;
+
+  int prev_dir = 0;
+  int64_t cy = sy, cx = sx;
+  const int64_t limit = 8 * H * W;
+  for (int64_t it = 0; it < limit; ++it) {
+    bool found = false;
+    for (int d = 0; d < 8; ++d) {
+      int k = (prev_dir + 1 + d) % 8;
+      int64_t ny = cy + dy[k], nx = cx + dx[k];
+      if (pad[ny * PW + nx]) {
+        if (ny == sy && nx == sx && count > 2) return count;
+        if (!emit(ny, nx)) return -1;
+        prev_dir = (k + 4) % 8;
+        cy = ny; cx = nx;
+        found = true;
+        break;
+      }
+    }
+    if (!found) break;  // isolated pixel
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// Ordered boundary-ring walk over once-only (boundary) edges.
+// edges: (E, 2) int64 pairs. Writes the ordered vertex loop into out
+// (max_out entries); returns its length.
+// ---------------------------------------------------------------------------
+int64_t boundary_ring_walk(const int64_t* edges, int64_t E,
+                           int64_t* out, int64_t max_out) {
+  if (E == 0) return 0;
+  std::unordered_map<int64_t, std::vector<int64_t>> succ;
+  succ.reserve(static_cast<size_t>(E) * 2);
+  for (int64_t i = 0; i < E; ++i) {
+    int64_t a = edges[2 * i], b = edges[2 * i + 1];
+    succ[a].push_back(b);
+    succ[b].push_back(a);
+  }
+  int64_t start = edges[0];
+  int64_t count = 0;
+  if (count < max_out) out[count++] = start;
+  int64_t prev = -1, cur = start;
+  for (int64_t it = 0; it <= E; ++it) {
+    const auto& ns = succ[cur];
+    int64_t nxt = -1;
+    for (int64_t v : ns) {
+      if (v != prev) { nxt = v; break; }
+    }
+    if (nxt < 0 || nxt == start) break;
+    if (count >= max_out) return -1;
+    out[count++] = nxt;
+    prev = cur;
+    cur = nxt;
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// Monotone-DP backtrack (tpubody/image/boundary_match.py): given the
+// (m-1, n) argmin table and the final-row argmin j, walk back to produce
+// the (m,) match. args is row-major (m-1, n).
+// ---------------------------------------------------------------------------
+void dp_backtrack(const int64_t* args, int64_t m, int64_t n,
+                  int64_t j_final, int64_t* out_match) {
+  int64_t j = j_final;
+  out_match[m - 1] = j;
+  for (int64_t i = m - 2; i >= 0; --i) {
+    j = args[i * n + j];
+    if (j < 0) j = 0;
+    if (j >= n) j = n - 1;
+    out_match[i] = j;
+  }
+}
+
+}  // extern "C"
