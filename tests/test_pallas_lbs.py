@@ -60,3 +60,12 @@ def test_fused_handles_padding(setup):
     ref = smpl_lib.forward_batch(model, poses[:5], beta, trans[:5]).verts
     assert got.shape == (5, model.num_verts, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_batch_verts_dispatch(setup):
+    """CPU fallback path of the public throughput API matches forward_batch."""
+    model, poses, beta, trans = setup
+    ref = smpl_lib.forward_batch(model, poses, beta, trans).verts
+    got = smpl_lib.forward_batch_verts(model, poses, beta, trans,
+                                       use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

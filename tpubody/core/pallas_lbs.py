@@ -44,13 +44,18 @@ def _round_up(x: int, m: int) -> int:
 def _fused_kernel(wT_ref, pdxT_ref, pdyT_ref, pdzT_ref, g_ref, f_ref,
                   out_ref):
     f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST      # full fp32 MXU passes (parity)
     feat = f_ref[...]                       # (TF, P+1), last col = 1
-    vx = jnp.dot(feat, pdxT_ref[...], preferred_element_type=f32)  # (TF, TV)
-    vy = jnp.dot(feat, pdyT_ref[...], preferred_element_type=f32)
-    vz = jnp.dot(feat, pdzT_ref[...], preferred_element_type=f32)
+    vx = jnp.dot(feat, pdxT_ref[...], preferred_element_type=f32,
+                 precision=hi)              # (TF, TV)
+    vy = jnp.dot(feat, pdyT_ref[...], preferred_element_type=f32,
+                 precision=hi)
+    vz = jnp.dot(feat, pdzT_ref[...], preferred_element_type=f32,
+                 precision=hi)
 
     # (16*TF, J) @ (J, TV) -> (16*TF, TV); rows ordered (k, frame).
-    Tt = jnp.dot(g_ref[...], wT_ref[...], preferred_element_type=f32)
+    Tt = jnp.dot(g_ref[...], wT_ref[...], preferred_element_type=f32,
+                 precision=hi)
     TF = feat.shape[0]
 
     def c(k):

@@ -77,6 +77,31 @@ def forward_batch(
     return jax.vmap(fn, in_axes=(0, beta_axis, trans_axis))(pose, beta, trans)
 
 
+def forward_batch_verts(
+    model: BodyModelParams,
+    poses: jnp.ndarray,   # (F, J, 3) axis-angle
+    beta: jnp.ndarray,    # (S,) shared shape
+    trans: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Vertices-only batched forward — the throughput path.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (tpubody.core.pallas_lbs: pose blendshapes + blend transforms + vertex
+    application in one VMEM-resident pass, ~5x the XLA path on v5e);
+    elsewhere it falls back to :func:`forward_batch`.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and beta.ndim == 1:
+        from tpubody.core import pallas_lbs
+        return pallas_lbs.lbs_forward_batch_fused(
+            model.v_template, model.shapedirs, model.posedirs,
+            model.j_regressor, model.weights, model.parents,
+            poses, beta, trans)
+    return forward_batch(model, poses, beta, trans).verts
+
+
 def regress_joints(model: BodyModelParams, verts: jnp.ndarray) -> jnp.ndarray:
     """3D joints from posed vertices (reference gen_J_3d,
     models/smpl_np.py:230-231)."""
