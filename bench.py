@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 64
+BATCH = 256
 WARMUP = 3
 ITERS = 10
 TARGET_FPS = 1000.0
