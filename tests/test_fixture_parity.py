@@ -1,0 +1,87 @@
+"""Parity smoke tests against the reference's golden fixture directories
+(data/tests/test01..test03_1024 — SURVEY.md §4).
+
+The real SMPL/SMPLH parameter pickles are stripped from the reference
+checkout, so these tests use synthetic body models; what they verify is
+the *interface parity*: the fixture files parse, the camera/pose formats
+drive our pipeline, and the full reconstruction runs on the real 1024^2
+photo/mask inputs (downscaled for CPU test budget).
+"""
+import os
+
+import numpy as np
+import pytest
+
+FIXTURE = "/root/reference/data/tests/test01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURE), reason="reference fixtures unavailable")
+
+
+class TestFixtureIO:
+    def test_smplh_pkl_schema(self):
+        from tpubody.pipelines import reconstruct as rec
+        fit = rec.load_fit_pickle(os.path.join(FIXTURE, "smplh.pkl"))
+        assert fit.pose.shape == (156,)
+        assert fit.shape.shape == (10,)
+        assert fit.camera_rotation.shape == (3, 3)
+        assert fit.camera_fx == 5000.0
+        assert np.isfinite(fit.pose).all()
+
+    def test_keypoints_json(self):
+        from tpubody.fit import keypoints as kp_lib
+        kp = kp_lib.read_openpose_json(
+            os.path.join(FIXTURE, "0_keypoints.json"))
+        assert kp.keypoints.shape == (67, 3)
+        # Keypoints lie inside the 1024^2 frame.
+        valid = kp.keypoints[:, 2] > 0.1
+        assert (kp.keypoints[valid, :2] >= 0).all()
+        assert (kp.keypoints[valid, :2] < 1024).all()
+
+    def test_images_load(self):
+        from tpubody.pipelines import reconstruct as rec
+        front, back, mask, fit = rec.load_test_dir(FIXTURE)
+        assert front.shape == (1024, 1024, 3)
+        assert mask.shape == (1024, 1024)
+        assert (mask > 0).mean() > 0.02     # person silhouette present
+
+    def test_conf_yaml_loads(self):
+        from tpubody.pipelines import gen_smplh as gen_lib
+        cfg = gen_lib.load_config(os.path.join(FIXTURE, "conf.yaml"))
+        assert cfg.focal_length == 5000.0
+        assert len(cfg.body_pose_prior_weights) == 5
+
+
+@pytest.mark.slow
+class TestFixtureReconstruct:
+    def test_full_pipeline_on_real_fixture(self, tmp_path):
+        """End-to-end reconstruction on the real photo/mask (downscaled to
+        256^2), synthetic body models standing in for the stripped pkls."""
+        import cv2
+        import jax.numpy as jnp
+        from tests.test_reconstruct_e2e import _sphere_body
+        from tpubody.pipelines import reconstruct as rec
+
+        front, back, mask, fit = rec.load_test_dir(FIXTURE)
+        S = 256
+        front_s = cv2.resize(front, (S, S))
+        back_s = cv2.resize(back, (S, S))
+        mask_s = cv2.resize(mask, (S, S), interpolation=cv2.INTER_NEAREST)
+        # Keep only the largest component nonzero values binary.
+        mask_s = (mask_s > 127).astype(np.uint8) * 255
+
+        scale = S / 1024.0
+        fit_s = rec.FitResult(
+            shape=fit.shape, pose=fit.pose,
+            camera_center=fit.camera_center * scale,
+            camera_rotation=fit.camera_rotation,
+            camera_translation=fit.camera_translation,
+            camera_fx=fit.camera_fx * scale)
+
+        smplh = _sphere_body(52)
+        smpl = _sphere_body(24)
+        out = rec.reconstruct(front_s, back_s, mask_s, fit_s, smplh, smpl,
+                              out_dir=str(tmp_path), cache=False)
+        assert np.isfinite(out.avatar.v_template).all()
+        assert out.points.shape[1] == 30
+        assert (tmp_path / "out.ply").exists()

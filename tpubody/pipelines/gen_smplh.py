@@ -33,8 +33,19 @@ def load_config(yaml_path: Optional[str] = None,
     cfg = {}
     if yaml_path and os.path.exists(yaml_path):
         import yaml
+
+        # Reference conf.yaml dumps carry !!python/tuple tags
+        # (gen_smplh.py:51-53 uses yaml.dump of parsed-args objects);
+        # accept them without enabling arbitrary object construction.
+        class _Loader(yaml.SafeLoader):
+            pass
+
+        _Loader.add_constructor(
+            "tag:yaml.org,2002:python/tuple",
+            lambda loader, node: tuple(loader.construct_sequence(node)))
+
         with open(yaml_path) as f:
-            raw = yaml.safe_load(f) or {}
+            raw = yaml.load(f, Loader=_Loader) or {}
         field_names = {f.name for f in dataclasses.fields(smplify.FitConfig)}
         rename = {
             "focal_length": "focal_length", "rho": "rho",
