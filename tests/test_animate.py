@@ -114,3 +114,12 @@ class TestAnimatePipeline:
             avp, clipp, str(tmp_path / "v.mp4"), size=64, focal=150.0,
             cam_t=np.array([0.0, 0.0, 3.0]), chunk=2)
         assert os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_orbit_video(tmp_path):
+    av = _sphere_avatar()
+    out = str(tmp_path / "orbit.mp4")
+    animate_lib.orbit_video(av, out, n_frames=6, size=64, focal=150.0,
+                            cam_t=np.array([0.0, 0.0, 3.0]), chunk=3)
+    assert os.path.exists(out) and os.path.getsize(out) > 400

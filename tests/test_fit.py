@@ -219,3 +219,36 @@ class TestSmplify:
         d_far = float(smplify.guess_init_depth(
             j3, jnp.asarray(j2_far, jnp.float32), ((5, 12), (2, 9)), 5000.0))
         assert d_far > d_near  # smaller on screen -> farther away
+
+
+class TestPCAHands:
+    def test_pca_hand_fit_param_sizes(self):
+        """With hand PCA bases, the fit optimizes num_pca_comps coeffs and
+        still exports a full 156-dim pose."""
+        import dataclasses
+        rng = np.random.default_rng(7)
+        base = params_lib.synthetic(n_joints=52, n_verts=400, seed=6)
+        model = dataclasses.replace(
+            base,
+            hands_components_l=jnp.asarray(
+                rng.normal(scale=0.1, size=(12, 45)), jnp.float32),
+            hands_components_r=jnp.asarray(
+                rng.normal(scale=0.1, size=(12, 45)), jnp.float32),
+            hands_mean_l=jnp.zeros(45), hands_mean_r=jnp.zeros(45))
+        kps = np.concatenate(
+            [rng.uniform(50, 150, (67, 2)), np.ones((67, 1))], axis=1)
+        cfg = smplify.FitConfig(focal_length=500.0, maxiters=3,
+                                use_pca=True, num_pca_comps=12)
+        out = smplify.fit_frame(model, kps, np.array([100.0, 100.0]), cfg)
+        assert out.pose.shape == (156,)
+        assert np.isfinite(out.pose).all()
+
+    def test_hand_aa_reconstruction(self):
+        comps = jnp.asarray(np.eye(45)[:12] * 2.0, jnp.float32)
+        mean = jnp.full(45, 0.5)
+        coeffs = jnp.arange(12, dtype=jnp.float32)
+        aa = np.asarray(smplify._hand_aa(
+            {"lhand": coeffs}, "lhand", (comps, mean)))
+        np.testing.assert_allclose(aa[:12], 0.5 + 2.0 * np.arange(12),
+                                   atol=1e-6)
+        np.testing.assert_allclose(aa[12:], 0.5, atol=1e-6)

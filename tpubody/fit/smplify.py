@@ -45,6 +45,8 @@ class FitConfig:
     gtol: float = 1e-9
     use_vposer: bool = True
     use_hands: bool = True
+    use_pca: bool = True          # PCA hand pose when the model carries
+    num_pca_comps: int = 12       # hands_components (fit_smplh.yaml)
     try_both_orient: bool = False
     joints_to_ign: Tuple[int, ...] = (1, 9, 12)
     init_joints_idxs: Tuple[int, ...] = (9, 12, 2, 5)
@@ -88,8 +90,18 @@ def _assemble_pose(global_orient, body_pose63, lhand, rhand):
                            ).reshape(52, 3)
 
 
+def _hand_aa(p, key, basis):
+    """Hand axis-angle (45,) from either full aa or PCA coefficients
+    (smplx use_pca parity: aa = mean + coeffs @ components)."""
+    val = p.get(key, jnp.zeros(45))
+    if basis is None:
+        return val
+    components, mean = basis
+    return mean + val @ components
+
+
 def _forward_joints(model, decoder, dec_params, p, use_vposer, focal,
-                    center, vertex_ids):
+                    center, vertex_ids, hand_bases=(None, None)):
     """SMPLH forward -> projected OpenPose joints.
 
     TPU-first: VPoser's decoded rotation MATRICES feed LBS directly
@@ -105,8 +117,8 @@ def _forward_joints(model, decoder, dec_params, p, use_vposer, focal,
     R = jnp.concatenate([
         rodrigues(p["global_orient"].reshape(1, 3)),
         body_R,
-        rodrigues(p.get("lhand", jnp.zeros(45)).reshape(15, 3)),
-        rodrigues(p.get("rhand", jnp.zeros(45)).reshape(15, 3)),
+        rodrigues(_hand_aa(p, "lhand", hand_bases[0]).reshape(15, 3)),
+        rodrigues(_hand_aa(p, "rhand", hand_bases[1]).reshape(15, 3)),
     ], axis=0)                                     # (52, 3, 3)
     state = smpl_lib.forward(model, R, p["betas"], pose_is_rotmat=True)
     j_op = joints_lib.openpose_joints(state.verts, state.joints_posed,
@@ -148,11 +160,26 @@ def fit_frame(
     focal = config.focal_length
     vertex_ids = joints_lib.extra_vertex_ids(model.num_verts)
 
+    # PCA hand bases (use_pca + model carries components): optimize
+    # num_pca_comps coefficients per hand instead of 45 axis-angles.
+    hand_bases = (None, None)
+    hand_dim = 45
+    if (config.use_pca and model.hands_components_l is not None
+            and model.hands_components_r is not None):
+        n = config.num_pca_comps
+        ml = model.hands_mean_l if model.hands_mean_l is not None \
+            else jnp.zeros(45)
+        mr = model.hands_mean_r if model.hands_mean_r is not None \
+            else jnp.zeros(45)
+        hand_bases = ((model.hands_components_l[:n], ml),
+                      (model.hands_components_r[:n], mr))
+        hand_dim = n
+
     # --- initialization -------------------------------------------------
     zeros_p = {
         "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
         "pose_embedding": jnp.zeros(32), "cam_t": jnp.zeros(3),
-        "lhand": jnp.zeros(45), "rhand": jnp.zeros(45),
+        "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
     }
     state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), zeros_p["betas"])
     j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
@@ -168,7 +195,7 @@ def fit_frame(
             model, decoder, dec_params,
             {**zeros_p, "cam_t": p["cam_t"],
              "global_orient": p["global_orient"]},
-            config.use_vposer, focal, center, vertex_ids)
+            config.use_vposer, focal, center, vertex_ids, hand_bases)
         err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
         depth = config.depth_loss_weight ** 2 * (p["cam_t"][2] - est_d) ** 2
         return err + depth
@@ -191,7 +218,7 @@ def fit_frame(
     def body_loss(p, w):
         proj, body_R, _ = _forward_joints(
             model, decoder, dec_params, p, config.use_vposer, focal,
-            center, vertex_ids)
+            center, vertex_ids, hand_bases)
         # Smooth axis-angle proxy from the rotation skew part
         # (sin(theta)*axis): sign- and monotonicity-preserving on the bend
         # range, and differentiable everywhere (unlike exact mat2aa).
@@ -224,8 +251,8 @@ def fit_frame(
             "betas": jnp.zeros(10),
             "pose_embedding": jnp.zeros(32),
             "cam_t": cam_t0,
-            "lhand": jnp.zeros(45),
-            "rhand": jnp.zeros(45),
+            "lhand": jnp.zeros(hand_dim),
+            "rhand": jnp.zeros(hand_dim),
         }
         loss_val = None
         for s in range(n_stages):
@@ -255,9 +282,11 @@ def fit_frame(
     body63 = np.asarray(vposer_lib.decode_to_axis_angle(
         decoder, dec_params, p["pose_embedding"][None])[0]) \
         if config.use_vposer else np.asarray(p["body_pose"])
+    lhand_aa = np.asarray(_hand_aa(p, "lhand", hand_bases[0])).reshape(45)
+    rhand_aa = np.asarray(_hand_aa(p, "rhand", hand_bases[1])).reshape(45)
     pose156 = np.concatenate([
         np.asarray(p["global_orient"]).reshape(3), body63.reshape(63),
-        np.asarray(p["lhand"]).reshape(45), np.asarray(p["rhand"]).reshape(45)])
+        lhand_aa, rhand_aa])
     return FitOutput(
         pose=pose156,
         shape=np.asarray(p["betas"]),

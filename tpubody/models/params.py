@@ -60,6 +60,14 @@ class BodyModelParams:
     weights: jnp.ndarray      # (V, J)
     parents: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     faces: np.ndarray = dataclasses.field(metadata=dict(static=True))
+    # SMPLH hand-pose PCA bases (45, n_comps) each, or None (smplx models
+    # carry hands_componentsl/r; the fitting stage optimizes num_pca_comps
+    # coefficients instead of full hand axis-angle when present,
+    # fit_smplh.yaml use_pca/num_pca_comps=12).
+    hands_components_l: Optional[jnp.ndarray] = None
+    hands_components_r: Optional[jnp.ndarray] = None
+    hands_mean_l: Optional[jnp.ndarray] = None
+    hands_mean_r: Optional[jnp.ndarray] = None
 
     @property
     def num_joints(self) -> int:
@@ -111,6 +119,12 @@ def load_pickle(path: str, dtype=jnp.float32) -> BodyModelParams:
     J = len(parents)
     posedirs = _densify(params["posedirs"]).reshape(-1, 3, 9 * (J - 1))
     shapedirs = _densify(params["shapedirs"])
+
+    def opt(key):
+        if key in params:
+            return jnp.asarray(_densify(params[key]), dtype=dtype)
+        return None
+
     return BodyModelParams(
         v_template=jnp.asarray(_densify(params["v_template"]), dtype=dtype),
         shapedirs=jnp.asarray(shapedirs, dtype=dtype),
@@ -119,6 +133,10 @@ def load_pickle(path: str, dtype=jnp.float32) -> BodyModelParams:
         weights=jnp.asarray(_densify(params["weights"]), dtype=dtype),
         parents=parents,
         faces=np.asarray(params["f"], dtype=np.int32),
+        hands_components_l=opt("hands_componentsl"),
+        hands_components_r=opt("hands_componentsr"),
+        hands_mean_l=opt("hands_meanl"),
+        hands_mean_r=opt("hands_meanr"),
     )
 
 

@@ -82,6 +82,60 @@ def animate_video(
     return out_path
 
 
+def orbit_video(
+    avatar: rigging.RiggedAvatar,
+    out_path: str,
+    pose: Optional[np.ndarray] = None,
+    n_frames: int = 120,
+    cam_t: np.ndarray = (0.0, 0.0, 2.5),
+    **kw,
+) -> str:
+    """Turntable render: the camera orbits a single posed avatar
+    (reference open3d_camera_render, lib/model2video.py:348-474 —
+    implemented as an equivalent per-frame y-rotation of the mesh, which
+    keeps the batched renderer's fixed camera)."""
+    p = np.zeros((1, 24, 3)) if pose is None else np.asarray(pose)[None]
+    verts = np.asarray(rigging.animate(avatar, p))[0]
+    center = verts.mean(axis=0)
+    angles = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
+    frames = []
+    for a in angles:
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        frames.append((verts - center) @ R.T + center)
+    clip = motion_lib.MotionClip(
+        poses=np.zeros((n_frames, 24, 3)),
+        trans=np.zeros((n_frames, 3)), fps=30.0)
+    # Render the precomputed orbit frames through the batched renderer.
+    from tpubody.render import video as video_lib
+    colors = np.asarray(avatar.color, np.float64)
+    if colors.max() > 1.0 + 1e-6:
+        colors = colors / 255.0
+    size = kw.get("size", video_lib.DEFAULT_SIZE)
+    focal = kw.get("focal", video_lib.DEFAULT_FOCAL)
+    bg = jnp.ones((size, size, 3), jnp.float32)
+    writer = video_lib.VideoWriter(out_path, fps=30.0, size=(size, size))
+    chunk = kw.get("chunk", 8)
+    varr = jnp.asarray(np.stack(frames), jnp.float32)
+    with writer:
+        for s0 in range(0, n_frames, chunk):
+            block = varr[s0:s0 + chunk]
+            n = block.shape[0]
+            if n < chunk:
+                block = jnp.concatenate(
+                    [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
+                    axis=0)
+            imgs = video_lib.render_frames(
+                block, jnp.asarray(avatar.faces, jnp.int32),
+                jnp.asarray(colors, jnp.float32),
+                jnp.asarray(np.asarray(cam_t), jnp.float32), bg,
+                height=size, width=size, focal=focal)
+            arr = np.asarray(imgs)
+            for i in range(n):
+                writer.write(arr[i])
+    return out_path
+
+
 def animate_from_amass(avatar_path: str, amass_path: str, out_path: str,
                        stride: int = 2, **kw) -> str:
     """Reference main_or parity (lib/model2video.py:533-553; frame stride 2
