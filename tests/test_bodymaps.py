@@ -102,3 +102,28 @@ def test_warp_silhouette_consistency(rendered):
     mask = np.asarray(maps.mask)
     agree = (sil == mask).mean()
     assert agree > 0.99
+
+
+def test_viewer_snapshot(tmp_path):
+    from tpubody.render import viewer
+    verts, faces = _sphere_mesh()
+    out = viewer.snapshot(verts, faces, size=96,
+                          out_path=str(tmp_path / "snap.png"))
+    assert out.shape == (96, 96, 3)
+    # Sphere visible (UV sphere has pole holes, so check area not center),
+    # background at the corner.
+    assert (out.min(-1) < 0.99).mean() > 0.15
+    assert out[2, 2].mean() > 0.99
+    assert (tmp_path / "snap.png").exists()
+
+
+def test_overlay_fit(tmp_path):
+    from tpubody.render import viewer
+    verts, faces = _sphere_mesh()
+    img = np.zeros((128, 128, 3), np.float32)
+    out = viewer.overlay_fit(
+        img, verts, faces, np.array([0.0, 0.0, 8.0]),
+        np.array([64.0, 64.0]), focal=800.0)
+    assert out.shape == (128, 128, 3)
+    assert out.max() > 0.05   # something rendered
+    assert out[0, 0].max() == 0.0  # corner untouched

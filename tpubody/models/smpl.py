@@ -159,14 +159,10 @@ def divide_face(
 
     def _half(sel_faces: np.ndarray):
         flat = sel_faces.reshape(-1)
-        # Unique by first appearance (stable), like repeated list.index().
-        first_pos = {}
-        order = []
-        for idx in flat.tolist():
-            if idx not in first_pos:
-                first_pos[idx] = len(order)
-                order.append(idx)
-        index = np.asarray(order, dtype=np.int64)
+        # Unique by first appearance (stable), like repeated list.index(),
+        # vectorized: order unique ids by their first flat position.
+        uniq, first = np.unique(flat, return_index=True)
+        index = uniq[np.argsort(first)].astype(np.int64)
         remap = np.full(verts.shape[0], -1, dtype=np.int64)
         remap[index] = np.arange(index.shape[0])
         return remap[sel_faces], verts[index], index

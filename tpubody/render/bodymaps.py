@@ -83,8 +83,18 @@ def render_body_maps(
     # Front/back face subsets by z-sign of the face normal.
     zn = np.asarray(smpl_lib.face_normals_z(v, np.asarray(faces)))
     faces_np = np.asarray(faces, np.int32)
-    front_faces = jnp.asarray(faces_np[zn <= 0])
-    back_faces = jnp.asarray(faces_np[zn > 0])
+
+    # Pad both subsets to the full face count with degenerate (0,0,0)
+    # faces (zero area -> culled in the rasterizer): front/back/weight
+    # rasterizations then share ONE compiled shape instead of recompiling
+    # per data-dependent subset size.
+    def _pad_faces(sel):
+        out = np.zeros_like(faces_np)
+        out[:sel.shape[0]] = sel
+        return jnp.asarray(out)
+
+    front_faces = _pad_faces(faces_np[zn <= 0])
+    back_faces = _pad_faces(faces_np[zn > 0])
 
     # Per-subset vertex normals (VertNormals of the half-mesh).
     n_front = raster_lib.vertex_normals(v, front_faces)
