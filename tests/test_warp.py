@@ -167,3 +167,15 @@ class TestWarpStage:
         # Warped normal channels stay within the source value range.
         assert out[..., 0][m].min() >= 0.0
         assert out[..., 0][m].max() <= 1.0 + 1e-5
+
+
+def test_chunked_warp_matches_dense():
+    rng = np.random.default_rng(9)
+    poly = np.array([[0, 0], [50, 0], [50, 50], [0, 50]], np.float32)
+    dst = poly * 1.3 + 2.0
+    pts = rng.uniform(5, 45, size=(1000, 2)).astype(np.float32)
+    dense = np.asarray(mvc.warp_points(
+        jnp.asarray(pts), jnp.asarray(poly), jnp.asarray(dst)))
+    chunked = np.asarray(mvc.warp_points_chunked(
+        jnp.asarray(pts), jnp.asarray(poly), jnp.asarray(dst), chunk=128))
+    np.testing.assert_allclose(chunked, dense, atol=1e-4)

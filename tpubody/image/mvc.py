@@ -15,6 +15,8 @@ in branch-free with ``jnp.where`` so the whole thing jits and vmaps.  One
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -81,3 +83,23 @@ def warp_points(pts: jnp.ndarray, src_poly: jnp.ndarray,
     return jnp.einsum(
         "mn,nc->mc", w, dst_poly.astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def warp_points_chunked(pts: jnp.ndarray, src_poly: jnp.ndarray,
+                        dst_poly: jnp.ndarray,
+                        chunk: int = 16384) -> jnp.ndarray:
+    """Memory-bounded warp for full-resolution images.
+
+    At 1024^2 the (m, n) MVC broadcast is ~250k x boundary-length — several
+    GB of intermediates.  This pads m to a chunk multiple and ``lax.map``s
+    the transport over fixed-size chunks, so peak memory is
+    O(chunk * n) while everything stays one compiled program (the
+    reference hand-chunks at 100k points on host, lib/Warp.py:209-214).
+    """
+    m = pts.shape[0]
+    pad = (-m) % chunk
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    blocks = pts_p.reshape(-1, chunk, 2)
+    out = jax.lax.map(lambda b: warp_points(b, src_poly, dst_poly), blocks)
+    return out.reshape(-1, 2)[:m]

@@ -137,7 +137,9 @@ def warp_stage(
 
     # Device: MVC transport of all interior pixels.
     inner = contours.inner_points(smpl_mask)
-    warped = mvc.warp_points(
+    warp_fn = (mvc.warp_points_chunked if inner.shape[0] > 65536
+               else mvc.warp_points)
+    warped = warp_fn(
         jnp.asarray(inner, jnp.float32),
         jnp.asarray(smpl_bound_matched, jnp.float32),
         jnp.asarray(rgb_bound, jnp.float32))
