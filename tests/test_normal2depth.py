@@ -138,3 +138,21 @@ def test_median_blur_removes_salt():
     img[5, 5] = 100.0
     out = np.asarray(morphology.median_blur(jnp.asarray(img), 3))
     assert out.max() < 2.0
+
+
+def test_residual_norm_diagnostic():
+    """Converged solve has small relative residual; garbage depth doesn't.
+
+    The diagnostic applies to the raw (unmasked) solution field — masking
+    zeroes the exterior and would dominate the residual — so solve with an
+    all-true mask here."""
+    normals, mask, _ = _sphere_cap(H=24, W=20, r=9.0)
+    full = jnp.ones_like(jnp.asarray(mask))
+    n = jnp.asarray(normals, jnp.float32)
+    depth = n2d.integrate(n, full, maxiter=3000, tol=1e-8)
+    good = float(n2d.residual_norm(n, full, depth))
+    rng_bad = jnp.asarray(
+        np.random.default_rng(0).normal(size=depth.shape), jnp.float32)
+    bad = float(n2d.residual_norm(n, full, rng_bad))
+    assert good < 1e-2
+    assert bad > 10 * good

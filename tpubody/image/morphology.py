@@ -66,18 +66,25 @@ def median_blur(img: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     """Median filter (exact, via sort over the unrolled window).
 
     ksize is expected small (3/5, as in the reference's medianBlur use
-    lib/Warp.py:441); the window unroll is k^2 shifted copies -> sort along
-    a new axis — fully vectorized.
+    lib/Warp.py:441).  The k^2-shifted-copies stack is materialized per
+    CHANNEL via ``lax.map`` — at 1024^2 x 24 channels the full stack would
+    be k^2 * 100MB of HBM temporaries (OOMs the chip); per-channel it is
+    bounded at k^2 * H * W floats.
     """
     squeeze = img.ndim == 2
     x = img[..., None] if squeeze else img
     pad = ksize // 2
-    xp = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     H, W = x.shape[:2]
-    shifts = [xp[dy:dy + H, dx:dx + W] for dy in range(ksize)
-              for dx in range(ksize)]
-    stack = jnp.stack(shifts, axis=0)
-    med = jnp.sort(stack, axis=0)[(ksize * ksize) // 2]
+
+    def one_channel(ch):   # (H, W)
+        xp = jnp.pad(ch, ((pad, pad), (pad, pad)), mode="edge")
+        shifts = [xp[dy:dy + H, dx:dx + W] for dy in range(ksize)
+                  for dx in range(ksize)]
+        stack = jnp.stack(shifts, axis=0)
+        return jnp.sort(stack, axis=0)[(ksize * ksize) // 2]
+
+    med = jax.lax.map(one_channel, jnp.moveaxis(x, -1, 0))
+    med = jnp.moveaxis(med, 0, -1)
     return med[..., 0] if squeeze else med
 
 

@@ -145,6 +145,23 @@ def align_back_depth(front_depth: jnp.ndarray, back_depth: jnp.ndarray
     return jnp.where(closed, out, 0.0)
 
 
+def residual_norm(normals: jnp.ndarray, mask: jnp.ndarray,
+                  depth: jnp.ndarray) -> jnp.ndarray:
+    """Relative residual ||AtA z - At b|| / ||At b|| of a solve — the
+    convergence diagnostic the reference ignores (scipy cg's ``info``,
+    lib/Normal2Depth.py:109-113; SURVEY.md §5 'failure detection')."""
+    nz = normals[..., 2] + 1e-8
+    p = -normals[..., 0] / nz
+    q = -normals[..., 1] / nz
+    H, W = mask.shape
+    Atb = _div_x(p[..., :, :-1], W) + _div_y(q[..., :-1, :], H)
+    r = laplacian_AtA(depth) - Atb
+    axes = tuple(range(r.ndim - 2, r.ndim))
+    return (jnp.linalg.norm(r.reshape(*r.shape[:-2], -1), axis=-1)
+            / jnp.maximum(jnp.linalg.norm(
+                Atb.reshape(*Atb.shape[:-2], -1), axis=-1), 1e-12))
+
+
 def normal2depth(normal6_img: jnp.ndarray, mask: jnp.ndarray,
                  maxiter: int = 1500, tol: float = 1e-5,
                  align_back: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
