@@ -123,3 +123,59 @@ def test_orbit_video(tmp_path):
     animate_lib.orbit_video(av, out, n_frames=6, size=64, focal=150.0,
                             cam_t=np.array([0.0, 0.0, 3.0]), chunk=3)
     assert os.path.exists(out) and os.path.getsize(out) > 400
+
+
+def test_auto_window_scales_with_face_size():
+    av = _sphere_avatar()
+    small = video_lib.auto_window(av.v_template, av.faces,
+                                  np.array([0.0, 0.0, 10.0]),
+                                  256, 256, focal=300.0)
+    big = video_lib.auto_window(av.v_template, av.faces,
+                                np.array([0.0, 0.0, 1.5]),
+                                1024, 1024, focal=2500.0)
+    assert small < big
+    assert small % 8 == 0 and 16 <= small <= 256
+
+
+def test_auto_window_is_safe():
+    """Rendering with the auto window matches a generous window exactly."""
+    av = _sphere_avatar()
+    cam = np.array([0.0, 0.0, 3.0])
+    w = video_lib.auto_window(av.v_template, av.faces, cam, 128, 128,
+                              focal=150.0)
+    bg = jnp.ones((128, 128, 3), jnp.float32)
+    args = (jnp.asarray(av.v_template, jnp.float32),
+            jnp.asarray(av.faces), jnp.asarray(av.color, jnp.float32),
+            jnp.asarray(cam, jnp.float32), bg)
+    auto = np.asarray(video_lib.render_frame(
+        *args, height=128, width=128, focal=150.0, window=w))
+    safe = np.asarray(video_lib.render_frame(
+        *args, height=128, width=128, focal=150.0, window=128))
+    np.testing.assert_allclose(auto, safe, atol=1e-6)
+
+
+def test_render_frame_binned_matches_plain():
+    av = _sphere_avatar()
+    cam = np.array([0.0, 0.0, 3.0])
+    size = 96
+    # Project to screen once (host) to split faces.
+    from tpubody.render.video import _PRE_ROT, _FLIP_YZ
+    from tpubody.render import raster as raster_lib
+    v = (av.v_template @ _PRE_ROT.T + cam) @ _FLIP_YZ.T
+    z = np.maximum(-v[:, 2], 1e-6)
+    screen = np.stack([v[:, 0] / z * 150.0 + size / 2,
+                       -v[:, 1] / z * 150.0 + size / 2, z], axis=1)
+    sf, lf = raster_lib.split_faces_by_extent(screen, av.faces, 16)
+    bg = jnp.ones((size, size, 3), jnp.float32)
+    plain = np.asarray(video_lib.render_frame(
+        jnp.asarray(av.v_template, jnp.float32), jnp.asarray(av.faces),
+        jnp.asarray(av.color, jnp.float32), jnp.asarray(cam, jnp.float32),
+        bg, height=size, width=size, focal=150.0, window=96))
+    binned = np.asarray(video_lib.render_frame_binned(
+        jnp.asarray(av.v_template, jnp.float32), jnp.asarray(sf),
+        jnp.asarray(lf), jnp.asarray(av.faces),
+        jnp.asarray(av.color, jnp.float32), jnp.asarray(cam, jnp.float32),
+        bg, height=size, width=size, focal=150.0,
+        small_window=16, large_window=96))
+    diff = np.abs(plain - binned)
+    assert (diff < 1e-4).mean() > 0.999   # identical off tie-broken edges

@@ -97,3 +97,48 @@ def test_vertex_normals_flat_quad():
     vn = np.asarray(raster_lib.vertex_normals(jnp.asarray(verts), jnp.asarray(faces)))
     np.testing.assert_allclose(np.abs(vn[:, 2]), 1.0, atol=1e-6)
     np.testing.assert_allclose(vn[:, :2], 0.0, atol=1e-6)
+
+
+def test_binned_matches_single_pass():
+    """Small/large binned rasterization == one conservative-window pass."""
+    size = 64
+    rng = np.random.default_rng(5)
+    # Mix of small and large triangles.
+    verts = np.zeros((30, 3))
+    verts[:, 0] = rng.uniform(2, size - 2, 30)
+    verts[:, 1] = rng.uniform(2, size - 2, 30)
+    verts[:, 2] = rng.uniform(0.5, 3.0, 30)
+    faces_small = rng.integers(0, 10, size=(12, 3)).astype(np.int32)
+    verts[:10, :2] = verts[:10, :2] * 0.1 + 5   # cluster -> small faces
+    faces_large = np.asarray([[10, 20, 29], [11, 22, 28]], np.int32)
+    faces = np.concatenate([faces_small, faces_large])
+    attrs = rng.normal(size=(30, 4))
+
+    vj = jnp.asarray(verts, jnp.float32)
+    aj = jnp.asarray(attrs, jnp.float32)
+    ref = raster_lib.rasterize(vj, jnp.asarray(faces), aj, size, size,
+                               window=size)
+    sf, lf = raster_lib.split_faces_by_extent(verts, faces, 16,
+                                              pad_multiple=8)
+    got = raster_lib.rasterize_binned(
+        vj, jnp.asarray(sf), jnp.asarray(lf), aj, size, size,
+        small_window=16, large_window=size)
+    np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(ref.mask))
+    m = np.asarray(ref.mask)
+    np.testing.assert_allclose(np.asarray(got.depth)[m],
+                               np.asarray(ref.depth)[m], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.attrs)[m],
+                               np.asarray(ref.attrs)[m], atol=1e-2)
+
+
+def test_split_faces_padding():
+    verts = np.array([[0, 0, 1], [5, 0, 1], [0, 5, 1],
+                      [0, 0, 1], [50, 0, 1], [0, 50, 1]], np.float64)
+    faces = np.array([[0, 1, 2], [3, 4, 5]])
+    sf, lf = raster_lib.split_faces_by_extent(verts, faces, 16,
+                                              pad_multiple=4)
+    assert sf.shape[0] % 4 == 0 and lf.shape[0] % 4 == 0
+    # First rows carry the real faces; padding is degenerate (0,0,0).
+    assert (sf[0] == [0, 1, 2]).all()
+    assert (lf[0] == [3, 4, 5]).all()
+    assert (sf[1:] == 0).all()

@@ -40,6 +40,7 @@ def animate_video(
     stride: int = 1,
     chunk: int = 8,
     mesh=None,
+    window: Optional[int] = None,
 ) -> str:
     """Render the avatar driven by the clip into an MP4 at ``out_path``."""
     poses = clip.poses[::stride]
@@ -61,6 +62,13 @@ def animate_video(
     # All-frame skinning in one program.
     verts_all = rigging.animate(avatar, poses, trans)
 
+    if window is None:
+        # Per-avatar rasterization window from projected face extents —
+        # the pass-1 fragment count (and throughput) is quadratic in it.
+        window = video_lib.auto_window(
+            avatar.v_template, avatar.faces, np.asarray(cam_t),
+            size, size, focal)
+
     if mesh is not None:
         verts_all = mesh_lib.shard_frames(verts_all, mesh)
 
@@ -75,7 +83,7 @@ def animate_video(
                     [block, jnp.repeat(block[-1:], chunk - n, axis=0)], axis=0)
             frames = video_lib.render_frames(
                 block, faces_j, colors_j, cam, bg,
-                height=size, width=size, focal=focal)
+                height=size, width=size, focal=focal, window=window)
             frames_np = np.asarray(frames)  # device->host (gathers shards)
             for i in range(n):
                 writer.write(frames_np[i])

@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
@@ -186,6 +187,66 @@ def rasterize(
         face_id=out_face,
         bary=out_bary,
     )
+
+
+def merge_rasters(a: RasterOutput, b: RasterOutput,
+                  b_face_offset: int = 0) -> RasterOutput:
+    """Depth-composite two rasterizations of disjoint face sets."""
+    b_wins = b.depth < a.depth
+    m = b_wins[..., None]
+    return RasterOutput(
+        attrs=jnp.where(m, b.attrs, a.attrs),
+        depth=jnp.where(b_wins, b.depth, a.depth),
+        mask=a.mask | b.mask,
+        face_id=jnp.where(b_wins, jnp.where(b.face_id >= 0,
+                                            b.face_id + b_face_offset, -1),
+                          a.face_id),
+        bary=jnp.where(m, b.bary, a.bary),
+    )
+
+
+def split_faces_by_extent(
+    verts_screen: np.ndarray, faces: np.ndarray, small_window: int,
+    pad_multiple: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side face binning for :func:`rasterize_binned`.
+
+    Splits faces into (small, large) by projected bbox extent; each subset
+    is padded with degenerate (0,0,0) faces to a multiple of
+    ``pad_multiple`` so the compiled shapes are stable across frames.
+    """
+    v = np.asarray(verts_screen)[:, :2]
+    f = np.asarray(faces)
+    tri = v[f]
+    ext = (tri.max(axis=1) - tri.min(axis=1)).max(axis=1)
+    small = f[ext <= small_window - 2]
+    large = f[ext > small_window - 2]
+
+    def pad(x):
+        n = max(((x.shape[0] + pad_multiple - 1) // pad_multiple)
+                * pad_multiple, pad_multiple)
+        out = np.zeros((n, 3), f.dtype)
+        out[:x.shape[0]] = x
+        return out
+
+    return pad(small), pad(large)
+
+
+def rasterize_binned(
+    verts: jnp.ndarray, small_faces: jnp.ndarray, large_faces: jnp.ndarray,
+    attrs: jnp.ndarray, height: int, width: int,
+    small_window: int = 32, large_window: int = 256,
+    depth_ascending: bool = True,
+) -> RasterOutput:
+    """Two-class rasterization: the many small faces use a tight window
+    (fragment count is faces x window^2), the few large ones a big window;
+    results depth-composite.  ~4x fewer fragments than one conservative
+    window when large faces are rare (they are, for body meshes)."""
+    a = rasterize(verts, small_faces, attrs, height, width,
+                  window=small_window, depth_ascending=depth_ascending)
+    b = rasterize(verts, large_faces, attrs, height, width,
+                  window=large_window, depth_ascending=depth_ascending)
+    return merge_rasters(a, b, b_face_offset=int(small_faces.shape[0]))
 
 
 def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
