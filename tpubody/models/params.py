@@ -49,8 +49,9 @@ SMPL_NUM_FACES = 13776
 class BodyModelParams:
     """Pytree of SMPL-family model tensors (device arrays).
 
-    ``parents`` and ``faces`` are static metadata (host numpy), excluded from
-    tracing so the kinematic tree stays compile-time constant.
+    ``parents`` is static metadata (hashable tuple) so the kinematic tree
+    stays compile-time constant; ``faces`` rides along as a pytree leaf
+    (host-side consumers only).
     """
 
     v_template: jnp.ndarray   # (V, 3)
@@ -59,7 +60,11 @@ class BodyModelParams:
     j_regressor: jnp.ndarray  # (J, V)
     weights: jnp.ndarray      # (V, J)
     parents: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
-    faces: np.ndarray = dataclasses.field(metadata=dict(static=True))
+    # NOTE: faces is a DATA field (pytree leaf): as static metadata the
+    # numpy array breaks jit-cache equality checks (array == array is not
+    # a bool) as soon as two model instances flow through one jitted
+    # function.  It is only consumed host-side, outside jit.
+    faces: np.ndarray = dataclasses.field(metadata=dict(static=False))
     # SMPLH hand-pose PCA bases (45, n_comps) each, or None (smplx models
     # carry hands_componentsl/r; the fitting stage optimizes num_pca_comps
     # coefficients instead of full hand axis-angle when present,
