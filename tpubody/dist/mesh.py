@@ -17,7 +17,7 @@ assembly uses an all-gather induced by requesting fully-replicated output.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

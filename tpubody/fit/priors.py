@@ -17,7 +17,7 @@ re-designed as pure functions (jit/grad-safe):
 from __future__ import annotations
 
 import pickle
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ fixed-length point arrays on TPU.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 # Moore neighborhood in clockwise order, starting from W.

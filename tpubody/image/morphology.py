@@ -7,8 +7,6 @@ TPU ops.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ and the nearest-neighbor edge fill of the reference in one vectorized op.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

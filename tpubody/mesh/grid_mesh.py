@@ -98,14 +98,24 @@ def depth_to_mesh(
     keep = (tris[:, 0] * tris[:, 1] * tris[:, 2]) > 0
     tris = tris[keep]
 
-    X, Y = np.meshgrid(np.arange(W), np.arange(H))
-    attrs = np.concatenate([
-        X[..., None], Y[..., None], depth[..., None], color,
-        weights], axis=2).reshape(H * W, -1)
+    # Used-vertex compaction via a bitmap (O(HW)) instead of np.unique's
+    # sort over the 6F face entries, and attribute gathering only for the
+    # kept vertices (the full (HW, 3+3+K) float64 block is ~250MB at
+    # 1024^2 — this was the stitch stage's hotspot).
+    used = np.zeros(H * W, bool)
+    used[tris.ravel()] = True
+    vert_ids = np.flatnonzero(used)
+    remap = np.empty(H * W, np.int64)
+    remap[vert_ids] = np.arange(vert_ids.shape[0])
+    faces = remap[tris]
 
-    vert_ids, inverse = np.unique(tris.ravel(), return_inverse=True)
-    faces = inverse.reshape(-1, 3).astype(np.int64)
-    points = attrs[vert_ids].astype(np.float64)
+    ys, xs = np.divmod(vert_ids, W)
+    points = np.empty((vert_ids.shape[0], 6 + weights.shape[2]), np.float64)
+    points[:, 0] = xs
+    points[:, 1] = ys
+    points[:, 2] = depth[ys, xs]
+    points[:, 3:6] = color[ys, xs]
+    points[:, 6:] = weights[ys, xs]
 
     if is_back and rotate_y:
         R = rotation_about_y(rotate_y)
@@ -161,22 +171,34 @@ def boundary_ring(faces: np.ndarray) -> np.ndarray:
 def inner_ring(faces: np.ndarray, ring: np.ndarray,
                n_verts: int) -> np.ndarray:
     """For each consecutive boundary pair, the interior vertex they share
-    (reference in_bound_verts_index, lib/Depth2Mesh_Bspline.py:236-250)."""
-    # vertex -> set of neighbors
-    nbr: Dict[int, set] = {i: set() for i in range(n_verts)}
-    for a, b, c in faces:
-        nbr[int(a)].update((int(b), int(c)))
-        nbr[int(b)].update((int(a), int(c)))
-        nbr[int(c)].update((int(a), int(b)))
-    ring_set = set(int(v) for v in ring)
-    out = []
+    (reference in_bound_verts_index, lib/Depth2Mesh_Bspline.py:236-250).
+
+    Vectorized: a boundary edge belongs to exactly one face, whose third
+    vertex IS the shared interior neighbor — located by binary search over
+    the sorted face-edge codes (no python loop over all faces; this was
+    the stitch stage's hotspot at 1024^2)."""
+    f = np.asarray(faces, np.int64)
     n = ring.shape[0]
-    for i in range(n):
-        a, b = int(ring[i]), int(ring[(i + 1) % n])
-        common = nbr[a] & nbr[b]
-        interior = [v for v in common if v not in ring_set]
-        out.append(interior[0] if interior else (list(common) or [a])[0])
-    return np.asarray(out, np.int64)
+    V = np.int64(n_verts)
+
+    # All face edges as sorted-pair codes, tagged with the opposite vertex.
+    pairs = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    opp = np.concatenate([f[:, 2], f[:, 0], f[:, 1]], axis=0)
+    lo = np.minimum(pairs[:, 0], pairs[:, 1])
+    hi = np.maximum(pairs[:, 0], pairs[:, 1])
+    codes = lo * V + hi
+    order = np.argsort(codes, kind="stable")
+    codes_sorted = codes[order]
+    opp_sorted = opp[order]
+
+    a = ring
+    b = np.roll(ring, -1)
+    q = np.minimum(a, b) * V + np.maximum(a, b)
+    idx = np.searchsorted(codes_sorted, q)
+    idx = np.clip(idx, 0, codes_sorted.shape[0] - 1)
+    found = codes_sorted[idx] == q
+    out = np.where(found, opp_sorted[idx], a)
+    return out.astype(np.int64)
 
 
 def vertex_adjacency(faces: np.ndarray, n_verts: int

@@ -22,7 +22,7 @@ reference does on RecoverModel.v_template).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np

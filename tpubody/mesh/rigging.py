@@ -19,9 +19,8 @@ Checkpoint format (save/load) matches the reference's pickle schema
 """
 from __future__ import annotations
 
-import dataclasses
 import pickle
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -42,7 +42,14 @@ def section_segments(
     """
     v = np.asarray(verts, np.float64)
     f = np.asarray(faces)
-    d = signed_distance(v, origin, normal)[f]          # (F, 3)
+    d_full = signed_distance(v, origin, normal)
+    df = d_full[f]                                     # (F, 3)
+    # Restrict all per-edge work to faces that can intersect the plane
+    # (sign change or on-plane vertex) — typically a tiny fraction.
+    may_cut = ~((df > 0).all(axis=1) | (df < 0).all(axis=1))
+    face_rows = np.flatnonzero(may_cut)
+    f = f[may_cut]
+    d = df[may_cut]
 
     pts = []
     valid = []
@@ -60,10 +67,8 @@ def section_segments(
     on_plane = np.isclose(d, 0.0)
     for c in range(3):
         extra = on_plane[:, c] & (valid.sum(1) < 2)
-        pts[extra, :, :] = pts[extra, :, :]
-        # register the vertex itself as an intersection point
+        # register the vertex itself in the first invalid slot
         vidx = f[extra, c]
-        # place it in the first invalid slot
         for row, vi in zip(np.nonzero(extra)[0], vidx):
             slot = np.argmin(valid[row])
             pts[row, slot] = v[vi]
@@ -78,7 +83,7 @@ def section_segments(
     rows = np.nonzero(cut)[0]
     p0 = pts[rows, order[:, 0]]
     p1 = pts[rows, order[:, 1]]
-    return np.stack([p0, p1], axis=1), rows
+    return np.stack([p0, p1], axis=1), face_rows[rows]
 
 
 def section_centroid(verts: np.ndarray, faces: np.ndarray, origin, normal

@@ -8,8 +8,6 @@ needed (host numpy by default: meshes here are small and dynamic-shaped).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from tpubody.mesh.grid_mesh import vertex_adjacency

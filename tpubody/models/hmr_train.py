@@ -13,7 +13,6 @@ parameter / shape losses) as a jittable, shardable train step:
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax

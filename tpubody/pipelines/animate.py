@@ -15,7 +15,6 @@ lib/model2video_miaxmo.py:485-599), re-designed for TPU throughput:
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -7,7 +7,6 @@ shards over chips (tpubody.dist).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Sequence
 
 import jax

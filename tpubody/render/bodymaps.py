@@ -69,7 +69,7 @@ def render_body_maps(
     height: int,
     width: int,
     focal: float = DEFAULT_FOCAL,
-    window: int = 64,
+    window: Optional[int] = None,
 ) -> BodyMaps:
     """Render the full (H, W, 30) value map the reconstruction consumes."""
     v = jnp.asarray(verts, jnp.float32)
@@ -79,6 +79,14 @@ def render_body_maps(
     screen = project_to_screen(
         v, jnp.asarray(camera_transl, jnp.float32),
         jnp.asarray(camera_center, jnp.float32), focal)
+
+    if window is None:
+        # Tight per-mesh window from projected face extents (fragment count
+        # is faces x window^2 — the rasterization cost knob).
+        s = np.asarray(screen)[:, :2]
+        tri = s[np.asarray(faces)]
+        ext = float((tri.max(axis=1) - tri.min(axis=1)).max())
+        window = int(min(max(np.ceil(ext * 1.05 / 8) * 8 + 8, 16), 256))
 
     # Front/back face subsets by z-sign of the face normal.
     zn = np.asarray(smpl_lib.face_normals_z(v, np.asarray(faces)))

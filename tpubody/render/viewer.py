@@ -7,7 +7,7 @@ the TPU rasterizer to image files instead of a GL window.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
