@@ -1,0 +1,95 @@
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from tpubody.utils.cache import StageCache, digest
+from tpubody.utils.profiling import StageTimer
+
+
+class TestDigest:
+    def test_deterministic(self):
+        a = np.arange(10.0)
+        assert digest(a, k=1) == digest(a.copy(), k=1)
+
+    def test_sensitive_to_values_and_kwargs(self):
+        a = np.arange(10.0)
+        assert digest(a) != digest(a + 1)
+        assert digest(a, k=1) != digest(a, k=2)
+        assert digest(a) != digest(a.astype(np.float32))
+
+    def test_none_ok(self):
+        assert digest(None) == digest(None)
+
+
+class TestStageCache:
+    def test_put_get_roundtrip(self, tmp_path):
+        sc = StageCache(str(tmp_path))
+        arts = {"x.npy": np.arange(5.0), "y.npy": np.eye(2)}
+        sc.put("stage1", "h1", arts)
+        got = sc.get("stage1", "h1", ["x.npy", "y.npy"])
+        assert got is not None
+        np.testing.assert_array_equal(got["x.npy"], arts["x.npy"])
+
+    def test_hash_mismatch_misses(self, tmp_path):
+        sc = StageCache(str(tmp_path))
+        sc.put("s", "h1", {"x.npy": np.zeros(3)})
+        assert sc.get("s", "other", ["x.npy"]) is None
+
+    def test_run_computes_once(self, tmp_path):
+        sc = StageCache(str(tmp_path))
+        calls = []
+
+        def compute():
+            calls.append(1)
+            return {"z.npy": np.ones(4)}
+
+        sc.run("s", "h", ["z.npy"], compute)
+        sc.run("s", "h", ["z.npy"], compute)
+        assert len(calls) == 1
+
+    def test_manifest_survives_reload(self, tmp_path):
+        StageCache(str(tmp_path)).put("s", "h", {"x.npy": np.zeros(2)})
+        sc2 = StageCache(str(tmp_path))
+        assert sc2.get("s", "h", ["x.npy"]) is not None
+
+    def test_disabled_cache_always_misses(self, tmp_path):
+        sc = StageCache(str(tmp_path), enabled=False)
+        sc.put("s", "h", {"x.npy": np.zeros(2)})
+        assert sc.get("s", "h", ["x.npy"]) is None
+
+
+class TestStageTimer:
+    def test_records_and_reports(self, tmp_path):
+        t = StageTimer()
+        with t.stage("alpha"):
+            time.sleep(0.01)
+        with t.stage("beta"):
+            pass
+        rep = t.report()
+        assert "alpha" in rep and "beta" in rep and "TOTAL" in rep
+        p = str(tmp_path / "t.json")
+        t.dump(p)
+        recs = json.load(open(p))
+        assert recs[0]["stage"] == "alpha"
+        assert recs[0]["seconds"] >= 0.01
+
+
+class TestCLIMain:
+    def test_animate_command(self, tmp_path):
+        from tests.test_animate import _sphere_avatar
+        from tpubody.io import motion as motion_lib
+        from tpubody.mesh import rigging
+        from tpubody import cli
+
+        avp = str(tmp_path / "avatar.pkl")
+        rigging.save_avatar(avp, _sphere_avatar())
+        clip = str(tmp_path / "result.pkl")
+        motion_lib.save_mixamo(clip, np.zeros((3, 24, 3)), fps=30.0)
+        out = str(tmp_path / "v.mp4")
+        rc = cli.main(["animate", avp, clip, out,
+                       "--size", "64", "--cam-z", "3.0"])
+        assert rc == 0
+        assert os.path.getsize(out) > 0
