@@ -252,3 +252,18 @@ class TestPCAHands:
         np.testing.assert_allclose(aa[:12], 0.5 + 2.0 * np.arange(12),
                                    atol=1e-6)
         np.testing.assert_allclose(aa[12:], 0.5, atol=1e-6)
+
+
+class TestOrientationFlip:
+    def test_try_both_orient_runs_and_picks_best(self):
+        """try_both_orient evaluates the 180-degree flip and returns finite
+        results (fit_single_frame.py:337-356 parity)."""
+        model = params_lib.synthetic(n_joints=52, n_verts=300, seed=8)
+        rng = np.random.default_rng(9)
+        kps = np.concatenate(
+            [rng.uniform(50, 150, (67, 2)), np.ones((67, 1))], axis=1)
+        cfg = smplify.FitConfig(focal_length=500.0, maxiters=3,
+                                try_both_orient=True)
+        out = smplify.fit_frame(model, kps, np.array([100.0, 100.0]), cfg)
+        assert np.isfinite(out.loss)
+        assert np.isfinite(out.pose).all()
