@@ -2,6 +2,7 @@ import json
 import os
 import time
 
+import jax
 import numpy as np
 import pytest
 
@@ -93,3 +94,31 @@ class TestCLIMain:
                        "--size", "64", "--cam-z", "3.0"])
         assert rc == 0
         assert os.path.getsize(out) > 0
+
+
+class TestCheckpoint:
+    def test_pytree_roundtrip(self, tmp_path):
+        from tpubody.utils import checkpoint as ckpt
+        tree = {"a": np.arange(5.0), "b": {"c": np.eye(3, dtype=np.float32)}}
+        p = str(tmp_path / "ck")
+        ckpt.save_pytree(p, tree)
+        back = ckpt.restore_pytree(p)
+        np.testing.assert_array_equal(back["a"], tree["a"])
+        np.testing.assert_array_equal(back["b"]["c"], tree["b"]["c"])
+
+    def test_train_state_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        import optax
+        from tpubody.models import hmr as hmr_lib, hmr_train
+        from tpubody.utils import checkpoint as ckpt
+        model = hmr_lib.HMR(mean_params=hmr_lib.default_mean_params(),
+                            n_iter=1, dtype=jnp.float32)
+        tx = optax.sgd(1e-3)
+        state = hmr_train.create_train_state(model, tx, image_size=32)
+        p = str(tmp_path / "ts")
+        ckpt.save_train_state(p, state)
+        restored = ckpt.restore_train_state(p, state)
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state.step)

@@ -36,13 +36,22 @@ def write_ply(path: str, verts: np.ndarray, faces: np.ndarray,
     if binary:
         with open(path, "wb") as fp:
             fp.write(("\n".join(header) + "\n").encode())
+            # Vectorized record packing (a python pack loop costs seconds
+            # at the pipeline's ~700k-face meshes).
             if has_color:
-                for v, c in zip(verts, colors):
-                    fp.write(struct.pack("<fff", *v) + struct.pack("<BBB", *c))
+                vrec = np.empty(
+                    verts.shape[0],
+                    dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+                vrec["xyz"] = verts
+                vrec["rgb"] = colors
+                fp.write(vrec.tobytes())
             else:
                 fp.write(verts.astype("<f4").tobytes())
-            for f in faces:
-                fp.write(struct.pack("<Biii", 3, *f))
+            frec = np.empty(faces.shape[0],
+                            dtype=[("n", "u1"), ("idx", "<i4", 3)])
+            frec["n"] = 3
+            frec["idx"] = faces
+            fp.write(frec.tobytes())
     else:
         with open(path, "w") as fp:
             fp.write("\n".join(header) + "\n")
