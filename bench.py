@@ -31,12 +31,17 @@ def main() -> None:
     model, variables = hmr_lib.create_hmr(dtype=jnp.bfloat16)
     body = params_lib.synthetic(n_joints=24, n_verts=6890, seed=0)
 
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def step(images):
         out = model.apply(variables, images)
-        state = smpl_lib.forward_batch(
-            body, out.rotmats, out.shape, None, pose_is_rotmat=True)
-        return state.verts, out.cam
+        # Fused Pallas LBS with per-image betas (shape blendshapes folded
+        # into the kernel's feature matmul).
+        verts = smpl_lib.forward_batch_verts(
+            body, out.rotmats, out.shape, None,
+            use_pallas=use_pallas, pose_is_rotmat=True)
+        return verts, out.cam
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(

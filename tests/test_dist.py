@@ -89,3 +89,21 @@ class TestShardedLBS:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(4)
+
+
+class TestShardedAnimation:
+    def test_animate_video_over_mesh(self, mesh8, tmp_path):
+        """Video pipeline with the frame axis sharded over 8 devices."""
+        import os
+        from tests.test_animate import _sphere_avatar
+        from tpubody.io import motion as motion_lib
+        from tpubody.pipelines import animate as animate_lib
+
+        av = _sphere_avatar()
+        clip = motion_lib.MotionClip(
+            poses=np.zeros((8, 24, 3)), trans=np.zeros((8, 3)), fps=30.0)
+        out = str(tmp_path / "sharded.mp4")
+        animate_lib.animate_video(
+            av, clip, out, size=64, focal=150.0,
+            cam_t=np.array([0.0, 0.0, 3.0]), chunk=8, mesh=mesh8)
+        assert os.path.exists(out) and os.path.getsize(out) > 300

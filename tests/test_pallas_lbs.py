@@ -69,3 +69,22 @@ def test_forward_batch_verts_dispatch(setup):
     got = smpl_lib.forward_batch_verts(model, poses, beta, trans,
                                        use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_fused_per_frame_betas(setup):
+    """Per-frame betas via the folded shape-blendshape features."""
+    model, poses, beta, trans = setup
+    rng = np.random.default_rng(7)
+    betas_f = jnp.asarray(rng.normal(scale=0.5, size=(poses.shape[0], 10)),
+                          jnp.float32)
+    ref = smpl_lib.forward_batch(model, poses, betas_f, trans).verts
+    from jax.experimental.pallas import tpu as pltpu
+    import jax as _jax
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if _jax.default_backend() != "tpu" else _null())
+    with ctx:
+        got = pallas_lbs.lbs_forward_batch_fused(
+            model.v_template, model.shapedirs, model.posedirs,
+            model.j_regressor, model.weights, model.parents,
+            poses, betas_f, trans, frame_tile=4, vert_tile=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)

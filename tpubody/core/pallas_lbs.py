@@ -67,7 +67,7 @@ def _fused_kernel(wT_ref, pdxT_ref, pdyT_ref, pdzT_ref, g_ref, f_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("parents", "frame_tile",
-                                             "vert_tile"))
+                                             "vert_tile", "pose_is_rotmat"))
 def lbs_forward_batch_fused(
     v_template: jnp.ndarray,    # (V, 3)
     shapedirs: jnp.ndarray,     # (V, 3, S)
@@ -75,30 +75,41 @@ def lbs_forward_batch_fused(
     j_regressor: jnp.ndarray,   # (J, V)
     weights: jnp.ndarray,       # (V, J)
     parents: Tuple[int, ...],
-    poses: jnp.ndarray,         # (F, J, 3) axis-angle
-    beta: jnp.ndarray,          # (S,) shared shape
+    poses: jnp.ndarray,         # (F, J, 3) axis-angle or (F, J, 3, 3) rotmats
+    beta: jnp.ndarray,          # (S,) shared or (F, S) per-frame shape
     trans: Optional[jnp.ndarray] = None,   # (F, 3)
     frame_tile: int = 16,
     vert_tile: int = 512,
+    pose_is_rotmat: bool = False,
 ) -> jnp.ndarray:
     """Batched LBS verts via the fused Pallas kernel -> (F, V, 3)."""
     F, J = poses.shape[0], poses.shape[1]
     V = v_template.shape[0]
     P = posedirs.shape[-1]
+    S = shapedirs.shape[-1]
     prec = jax.lax.Precision.HIGHEST
+    per_frame_beta = beta.ndim == 2
 
-    # --- XLA prologue: shape blendshapes, joints, FK (tiny) -------------
-    v_shaped = v_template + jnp.einsum(
-        "vcs,s->vc", shapedirs, beta, precision=prec)
-    joints = jnp.einsum("jv,vc->jc", j_regressor, v_shaped, precision=prec)
+    # --- XLA prologue: joints per frame, FK (tiny) -----------------------
+    # Shape blendshapes fold into the kernel's feature matmul: the feature
+    # vector becomes [pose_feat, beta, 1] against rows
+    # [posedirs | shapedirs | v_template], so per-frame betas cost nothing
+    # extra in the heavy pass.
+    base_joints = jnp.einsum("jv,vc->jc", j_regressor, v_template,
+                             precision=prec)
+    j_shape = jnp.einsum("jv,vcs->jcs", j_regressor, shapedirs,
+                         precision=prec)
+    betas_f = beta if per_frame_beta else jnp.broadcast_to(beta, (F, S))
+    joints_f = base_joints + jnp.einsum("jcs,fs->fjc", j_shape, betas_f,
+                                        precision=prec)
 
-    R = rodrigues(poses)                                # (F, J, 3, 3)
+    R = poses if pose_is_rotmat else rodrigues(poses)   # (F, J, 3, 3)
     pose_feat = (R[:, 1:] - jnp.eye(3, dtype=R.dtype)).reshape(F, P)
 
-    def fk(Rf):
-        G = lbs_lib.forward_kinematics(Rf, joints, parents)
-        return lbs_lib.remove_rest_pose(G, joints)
-    G_rel = jax.vmap(fk)(R)                             # (F, J, 4, 4)
+    def fk(Rf, jf):
+        G = lbs_lib.forward_kinematics(Rf, jf, parents)
+        return lbs_lib.remove_rest_pose(G, jf)
+    G_rel = jax.vmap(fk)(R, joints_f)                   # (F, J, 4, 4)
 
     # --- frames-major kernel layouts ------------------------------------
     TF, TV = frame_tile, vert_tile
@@ -112,16 +123,18 @@ def lbs_forward_batch_fused(
         pads = [(0, 0)] * (x.ndim - 1) + [(0, Vp - V)]
         return jnp.pad(x, pads)
 
-    # Transposed per-channel posedirs with the shaped template folded in as
-    # an extra constant feature row: (P+1, Vp).
+    # Transposed per-channel [posedirs | shapedirs | template] feature
+    # rows: (P+S+1, Vp).
     def pd_chan(c):
         return padVlast(jnp.concatenate(
-            [posedirs[:, c, :], v_shaped[:, c:c + 1]], axis=1).T)
+            [posedirs[:, c, :], shapedirs[:, c, :],
+             v_template[:, c:c + 1]], axis=1).T)
 
     pdxT, pdyT, pdzT = pd_chan(0), pd_chan(1), pd_chan(2)
     wT = padVlast(weights.T)                            # (J, Vp)
     feat = jnp.concatenate(
-        [padF(pose_feat), jnp.ones((Fp, 1), pose_feat.dtype)], axis=1)
+        [padF(pose_feat), padF(betas_f),
+         jnp.ones((Fp, 1), pose_feat.dtype)], axis=1)
 
     # G rows ordered (frame-tile, component k, frame-in-tile): each kernel
     # block is a contiguous (16*TF, J) slab with contiguous per-component
@@ -137,15 +150,15 @@ def lbs_forward_batch_fused(
         in_specs=[
             pl.BlockSpec((J, TV), lambda f, v: (0, v),
                          memory_space=pltpu.VMEM),       # weights^T
-            pl.BlockSpec((P + 1, TV), lambda f, v: (0, v),
+            pl.BlockSpec((P + S + 1, TV), lambda f, v: (0, v),
                          memory_space=pltpu.VMEM),       # pdx^T
-            pl.BlockSpec((P + 1, TV), lambda f, v: (0, v),
+            pl.BlockSpec((P + S + 1, TV), lambda f, v: (0, v),
                          memory_space=pltpu.VMEM),       # pdy^T
-            pl.BlockSpec((P + 1, TV), lambda f, v: (0, v),
+            pl.BlockSpec((P + S + 1, TV), lambda f, v: (0, v),
                          memory_space=pltpu.VMEM),       # pdz^T
             pl.BlockSpec((16 * TF, J), lambda f, v: (f, 0),
                          memory_space=pltpu.VMEM),       # G
-            pl.BlockSpec((TF, P + 1), lambda f, v: (f, 0),
+            pl.BlockSpec((TF, P + S + 1), lambda f, v: (f, 0),
                          memory_space=pltpu.VMEM),       # pose feat
         ],
         out_specs=pl.BlockSpec((3, TF, TV), lambda f, v: (0, f, v),

@@ -79,10 +79,11 @@ def forward_batch(
 
 def forward_batch_verts(
     model: BodyModelParams,
-    poses: jnp.ndarray,   # (F, J, 3) axis-angle
+    poses: jnp.ndarray,   # (F, J, 3) axis-angle or (F, J, 3, 3) rotmats
     beta: jnp.ndarray,    # (S,) shared shape
     trans: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
+    pose_is_rotmat: bool = False,
 ) -> jnp.ndarray:
     """Vertices-only batched forward — the throughput path.
 
@@ -93,13 +94,14 @@ def forward_batch_verts(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and beta.ndim == 1:
+    if use_pallas:
         from tpubody.core import pallas_lbs
         return pallas_lbs.lbs_forward_batch_fused(
             model.v_template, model.shapedirs, model.posedirs,
             model.j_regressor, model.weights, model.parents,
-            poses, beta, trans)
-    return forward_batch(model, poses, beta, trans).verts
+            poses, beta, trans, pose_is_rotmat=pose_is_rotmat)
+    return forward_batch(model, poses, beta, trans,
+                         pose_is_rotmat=pose_is_rotmat).verts
 
 
 def regress_joints(model: BodyModelParams, verts: jnp.ndarray) -> jnp.ndarray:
