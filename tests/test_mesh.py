@@ -222,3 +222,34 @@ class TestMeshIO:
         v, f = meshio.read_obj(p)
         np.testing.assert_allclose(v, verts, atol=1e-6)
         np.testing.assert_array_equal(f, faces)
+
+
+class TestStitchFuzz:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_randomized_silhouettes(self, seed):
+        """Stitching stays finite/valid over randomized blobby masks."""
+        rng = np.random.default_rng(seed)
+        H = W = 40
+        yy, xx = np.mgrid[0:H, 0:W]
+        cx, cy = rng.uniform(16, 24, 2)
+        rx, ry = rng.uniform(8, 13, 2)
+        wob = 1 + 0.15 * np.sin(np.arctan2(yy - cy, xx - cx)
+                                * rng.integers(2, 5))
+        mask = ((((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < wob)
+        front = np.where(mask, 5.0 + rng.random((H, W)), 0.0)
+        back = np.where(mask, 9.0 + rng.random((H, W)), 0.0)
+        color = rng.uniform(0, 255, (H, W, 3))
+        weights = rng.random((H, W, 24))
+        weights /= weights.sum(-1, keepdims=True)
+        J = np.tile(np.array([[W // 2, H // 2]]), (24, 1))
+        J[16] = [W // 2 - 4, H // 2 - 3]; J[17] = [W // 2 + 4, H // 2 - 3]
+        J[18] = [W // 2 - 7, H // 2]; J[19] = [W // 2 + 7, H // 2]
+        J[20] = [W // 2 - 9, H // 2 + 2]; J[21] = [W // 2 + 9, H // 2 + 2]
+        J[0] = [W // 2, H // 2 + 5]; J[3] = [W // 2, H // 2 - 5]
+        J[1] = [W // 2 - 3, H // 2 + 5]; J[2] = [W // 2 + 3, H // 2 + 5]
+        J = np.clip(J, 1, [W - 2, H - 2])
+        res = stitch.stitch_mesh(front, color, back, color, weights, J)
+        assert np.isfinite(res.points).all()
+        assert res.faces.min() >= 0
+        assert res.faces.max() < res.points.shape[0]
+        assert np.isfinite(res.joints3d).all()
