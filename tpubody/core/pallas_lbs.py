@@ -78,7 +78,7 @@ def lbs_forward_batch_fused(
     poses: jnp.ndarray,         # (F, J, 3) axis-angle or (F, J, 3, 3) rotmats
     beta: jnp.ndarray,          # (S,) shared or (F, S) per-frame shape
     trans: Optional[jnp.ndarray] = None,   # (F, 3)
-    frame_tile: int = 16,
+    frame_tile: int = 128,
     vert_tile: int = 512,
     pose_is_rotmat: bool = False,
 ) -> jnp.ndarray:
