@@ -49,15 +49,23 @@ def _cmd_reconstruct(args) -> int:
 
 
 def _cmd_animate(args) -> int:
+    from tpubody.io import motion as motion_lib
+    from tpubody.mesh import rigging
     from tpubody.pipelines import animate
 
-    kw = dict(size=args.size, fps=args.fps,
-              cam_t=np.asarray([0.0, 0.0, args.cam_z]))
+    avatar = rigging.load_avatar(args.avatar)
+    if args.decimate:
+        from tpubody.mesh import decimate
+        avatar = decimate.decimate_avatar(avatar, target_verts=args.decimate)
     if args.clip.endswith(".npz"):
-        animate.animate_from_amass(args.avatar, args.clip, args.out,
-                                   stride=args.stride, **kw)
+        clip = motion_lib.read_amass(args.clip)
+        stride = args.stride
     else:
-        animate.animate_from_mixamo(args.avatar, args.clip, args.out, **kw)
+        clip = motion_lib.read_mixamo(args.clip)
+        stride = 1
+    animate.animate_video(avatar, clip, args.out, size=args.size,
+                          fps=args.fps, stride=stride,
+                          cam_t=np.asarray([0.0, 0.0, args.cam_z]))
     print(f"wrote {args.out}")
     return 0
 
@@ -87,6 +95,8 @@ def main(argv=None) -> int:
     p.add_argument("--fps", type=float, default=None)
     p.add_argument("--stride", type=int, default=2)
     p.add_argument("--cam-z", type=float, default=2.5)
+    p.add_argument("--decimate", type=int, default=0,
+                   help="cluster-decimate the avatar to ~N vertices first")
     p.set_defaults(fn=_cmd_animate)
 
     args = parser.parse_args(argv)
