@@ -156,3 +156,51 @@ def test_residual_norm_diagnostic():
     bad = float(n2d.residual_norm(n, full, rng_bad))
     assert good < 1e-2
     assert bad > 10 * good
+
+
+class TestMultigrid:
+    """The V-cycle preconditioner (make_mg_preconditioner) must be a
+    symmetric PSD operator for CG, and must beat Jacobi on iteration count
+    (its whole reason to exist — SURVEY.md §7 hard part 6)."""
+
+    def test_vcycle_symmetric_psd(self):
+        H, W = 40, 52   # padding path: 52 is not a multiple of 2^levels
+        M = n2d.make_mg_preconditioner(H, W)
+        rng = np.random.default_rng(0)
+        r1 = jnp.asarray(rng.normal(size=(H, W)), jnp.float32)
+        r2 = jnp.asarray(rng.normal(size=(H, W)), jnp.float32)
+        lhs = float(jnp.sum(M(r1) * r2))
+        rhs = float(jnp.sum(r1 * M(r2)))
+        assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), 1.0)
+        assert float(jnp.sum(r1 * M(r1))) > 0
+        assert float(jnp.sum(r2 * M(r2))) > 0
+
+    def test_mg_beats_jacobi_iterations(self):
+        H, W = 64, 64
+        rng = np.random.default_rng(1)
+        z_true = jnp.asarray(rng.normal(size=(H, W)), jnp.float32)
+        b = n2d.laplacian_AtA(z_true)
+        M = n2d.make_mg_preconditioner(H, W)
+        zm, km, resm = n2d.pcg(b, M, tol=1e-6, maxiter=2000)
+        Mj = lambda r: r / n2d._degree(H, W, r.dtype)  # noqa: E731
+        zj, kj, resj = n2d.pcg(b, Mj, tol=1e-6, maxiter=2000)
+        assert float(resm) < 1e-5
+        assert int(km) * 5 < int(kj), (int(km), int(kj))
+        zm = np.asarray(zm); zt = np.asarray(z_true)
+        np.testing.assert_allclose(zm - zm.mean(), zt - zt.mean(), atol=1e-3)
+
+    def test_pcg_noise_floor_guard(self):
+        """Requesting an unreachable f32 tolerance must NOT blow up the
+        solution (CG past the rounding floor diverges without the best-
+        iterate/divergence guards)."""
+        normals, mask, _ = _sphere_cap(H=24, W=20, r=9.0)
+        n = jnp.asarray(normals, jnp.float32)
+        H, W = mask.shape
+        nz = n[..., 2] + 1e-8
+        Atb = (n2d._div_x((-n[..., 0] / nz)[..., :, :-1], W)
+               + n2d._div_y((-n[..., 1] / nz)[..., :-1, :], H))
+        M = n2d.make_mg_preconditioner(H, W)
+        z, k, res = n2d.pcg(Atb, M, tol=1e-12, maxiter=3000)
+        assert np.isfinite(np.asarray(z)).all()
+        assert float(jnp.abs(z).max()) < 1e3
+        assert float(res) < 1e-4

@@ -130,6 +130,11 @@ def warp_stage(
     rgb_contour = contours.trace_boundary(rgb_mask)
     rgb_bound = contours.simplify(rgb_contour)
     smpl_bound = contours.trace_boundary(smpl_mask)
+    if rgb_bound.shape[0] < 4 or smpl_bound.shape[0] < 4:
+        raise ValueError(
+            "warp_stage: degenerate silhouette (photo mask "
+            f"{rgb_bound.shape[0]} pts, rendered mask "
+            f"{smpl_bound.shape[0]} pts) — check the mask and value map")
 
     # Device: monotone DP match.
     match = boundary_match.match_boundaries(smpl_bound, rgb_bound, k=k)

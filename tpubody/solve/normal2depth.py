@@ -62,6 +62,139 @@ def _degree(H: int, W: int, dtype) -> jnp.ndarray:
     return deg
 
 
+# ---------------------------------------------------------------------------
+# Geometric multigrid preconditioner.
+#
+# The 5-point Laplacian's condition number grows like (N/pi)^2, so plain
+# Jacobi-PCG needs ~1500 iterations at 1024^2 (the reference's scipy CG
+# never converges there either — lib/Normal2Depth.py:107-113 caps maxiter
+# and ignores `info`).  A V-cycle drops that to a few dozen.  Everything in
+# the cycle is a shift/add or a 2x2 reshape-reduce — ideal VPU work, and the
+# whole PCG still compiles to one XLA program.
+#
+# Symmetry (required for CG): smoothing is damped Richardson
+# z += alpha*(b - A z) (alpha = 0.2 = the classic 4/5 * 1/diag damping for
+# the 2D stencil), which is a symmetric polynomial in A; prolongation P is
+# piecewise-constant 2x2 injection and restriction is 0.5 * P^T (2x2 sum),
+# which makes the rediscretized unit-spacing coarse Laplacian EXACTLY the
+# Galerkin operator P^T A P / 2 in the interior; equal pre/post smoothing
+# closes the M = S(I + 0.5 P B P^T)S form, so M is symmetric PSD.
+# ---------------------------------------------------------------------------
+
+
+def _restrict(r: jnp.ndarray) -> jnp.ndarray:
+    """0.5 * (2x2 block sum): the Galerkin-consistent restriction."""
+    Hc, Wc = r.shape[-2] // 2, r.shape[-1] // 2
+    return 0.5 * r.reshape(*r.shape[:-2], Hc, 2, Wc, 2).sum(axis=(-3, -1))
+
+
+def _prolong(e: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise-constant 2x2 injection (adjoint of 2x2 sum)."""
+    return jnp.repeat(jnp.repeat(e, 2, axis=-2), 2, axis=-1)
+
+
+def make_mg_preconditioner(H: int, W: int, levels: Optional[int] = None,
+                           nu: int = 2, alpha: float = 0.2,
+                           coarse_iters: int = 32):
+    """Return M(r) ~= AtA^{-1} r: one symmetric V(nu,nu)-cycle.
+
+    Non-power-of-two sizes are zero-padded to a multiple of 2^levels inside
+    the cycle (M = E^T M_pad E keeps symmetry)."""
+    if levels is None:
+        levels = 0
+        while (min(H, W) >> (levels + 1)) >= 8 and levels < 7:
+            levels += 1
+    if levels == 0:
+        def jacobi(r):
+            return r / _degree(H, W, r.dtype)
+        return jacobi
+    m = 1 << levels
+    Hp = -(-H // m) * m
+    Wp = -(-W // m) * m
+
+    def smooth(z, b, n):
+        for _ in range(n):
+            z = z + alpha * (b - laplacian_AtA(z))
+        return z
+
+    def vcycle(b, level):
+        if level == levels:
+            return smooth(jnp.zeros_like(b), b, coarse_iters)
+        z = smooth(jnp.zeros_like(b), b, nu)
+        r = b - laplacian_AtA(z)
+        z = z + _prolong(vcycle(_restrict(r), level + 1))
+        return smooth(z, b, nu)
+
+    def M(r):
+        pad = [(0, 0)] * (r.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
+        return vcycle(jnp.pad(r, pad), 0)[..., :H, :W]
+
+    return M
+
+
+def pcg(b: jnp.ndarray, M, tol: float = 1e-5, maxiter: int = 200
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Preconditioned CG on AtA z = b (whole-array inner products, so a
+    batched b solves as one joint Krylov space — front+back in one program).
+
+    Returns (z, iterations_used, relative_residual) — the convergence
+    diagnostics the reference discards (SURVEY.md §5 'failure detection').
+
+    AtA is singular (constant nullspace per (H, W) slice), so the constant
+    mode is deflated: b and every preconditioned residual are projected to
+    zero mean.  Without this the V-cycle injects an arbitrary constant each
+    iteration and the growing offset burns float32 mantissa."""
+    def deflate(x):
+        return x - jnp.mean(x, axis=(-2, -1), keepdims=True)
+
+    b = deflate(b)
+    bnorm2 = jnp.vdot(b, b).real
+    # Floor the tolerance at what the dtype can actually reach: asking f32
+    # CG for 1e-8 makes it iterate on rounding noise, where aggressively
+    # preconditioned search directions AMPLIFY the noise and z diverges.
+    eps = jnp.finfo(b.dtype).eps
+    atol2 = jnp.maximum(tol * tol, 16.0 * eps * eps) * bnorm2
+
+    z0 = jnp.zeros_like(b)
+    r0 = b
+    p0 = deflate(M(r0))
+    rho0 = jnp.vdot(r0, p0).real
+    rn0 = bnorm2
+
+    def cond(state):
+        _, r, _, _, k, _, best_rn = state
+        rn = jnp.vdot(r, r).real
+        diverged = rn > 100.0 * best_rn          # iterating on noise
+        return (rn > atol2) & (k < maxiter) & (k >= 0) & ~diverged
+
+    def body(state):
+        z, r, p, rho, k, best_z, best_rn = state
+        Ap = laplacian_AtA(p)
+        pAp = jnp.vdot(p, Ap).real
+        # 0/0 guard at exact stagnation; flag exit via k < 0.
+        ok = (pAp > 1e-30) & jnp.isfinite(pAp)
+        a = jnp.where(ok, rho / jnp.where(ok, pAp, 1.0), 0.0)
+        z = z + a * p
+        r = r - a * Ap
+        rn = jnp.vdot(r, r).real
+        better = rn < best_rn
+        best_z = jnp.where(better, z, best_z)
+        best_rn = jnp.where(better, rn, best_rn)
+        y = deflate(M(r))
+        rho_new = jnp.vdot(r, y).real
+        beta = jnp.where(rho > 1e-30, rho_new / jnp.where(rho > 1e-30,
+                                                          rho, 1.0), 0.0)
+        p = y + beta * p
+        k_next = jnp.where(ok, k + 1, -(k + 1))
+        return z, r, p, rho_new, k_next, best_z, best_rn
+
+    _, _, _, _, k, z, rn = jax.lax.while_loop(
+        cond, body, (z0, r0, p0, rho0, 0, z0, rn0))
+    k = jnp.abs(k)
+    relres = jnp.sqrt(rn / jnp.maximum(bnorm2, 1e-30))
+    return z, k, relres
+
+
 def preprocess(normal_img: jnp.ndarray, mask: jnp.ndarray,
                erode_ksize: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference __init__ semantics (lib/Normal2Depth.py:11-21): erode the
@@ -74,15 +207,18 @@ def preprocess(normal_img: jnp.ndarray, mask: jnp.ndarray,
     return n, eroded
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
+@functools.partial(jax.jit, static_argnames=("maxiter", "precond"))
 def integrate(normals: jnp.ndarray, mask: jnp.ndarray,
-              maxiter: int = 1500, tol: float = 1e-5) -> jnp.ndarray:
+              maxiter: int = 1500, tol: float = 1e-5,
+              precond: str = "mg") -> jnp.ndarray:
     """Integrate normal map(s) to depth.
 
     Args:
       normals: (..., H, W, 3) unit-ish normals in [-1, 1], zeroed outside
         the mask (leading axes batch: e.g. (2, H, W, 3) for front+back).
       mask: (H, W) bool; output depth is 0 outside.
+      precond: "mg" (multigrid V-cycle, ~30x fewer iterations at 1024^2)
+        or "jacobi".
 
     Returns:
       (..., H, W) depth, shifted so min over the batch element is 0 and
@@ -97,12 +233,12 @@ def integrate(normals: jnp.ndarray, mask: jnp.ndarray,
     # j < W-1 / i < H-1 only).
     Atb = _div_x(p[..., :, :-1], W) + _div_y(q[..., :-1, :], H)
 
-    inv_deg = 1.0 / _degree(H, W, Atb.dtype)
-
-    z = jax.scipy.sparse.linalg.cg(
-        laplacian_AtA, Atb, tol=tol, maxiter=maxiter,
-        M=lambda r: r * inv_deg,
-    )[0]
+    if precond == "mg":
+        M = make_mg_preconditioner(H, W)
+    else:
+        inv_deg = 1.0 / _degree(H, W, Atb.dtype)
+        M = lambda r: r * inv_deg  # noqa: E731
+    z, _, _ = pcg(Atb, M, tol=tol, maxiter=maxiter)
 
     reduce_axes = tuple(range(z.ndim - 2, z.ndim))
     z = z - jnp.min(z, axis=reduce_axes, keepdims=True)
@@ -111,7 +247,7 @@ def integrate(normals: jnp.ndarray, mask: jnp.ndarray,
 
 def integrate_front_back(
     normal6: jnp.ndarray, mask: jnp.ndarray,
-    maxiter: int = 1500, tol: float = 1e-5,
+    maxiter: int = 1500, tol: float = 1e-5, precond: str = "mg",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Front+back integration in ONE batched CG (the two solves share the
     operator, so they run as a single program — vs the reference's two
@@ -120,7 +256,8 @@ def integrate_front_back(
     normal6: (H, W, 6) channels [front nx,ny,nz, back nx,ny,nz] in [-1,1].
     """
     stacked = jnp.stack([normal6[..., 0:3], normal6[..., 3:6]], axis=0)
-    depth = integrate(stacked, mask, maxiter=maxiter, tol=tol)
+    depth = integrate(stacked, mask, maxiter=maxiter, tol=tol,
+                      precond=precond)
     return depth[0], depth[1]
 
 
