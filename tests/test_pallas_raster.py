@@ -1,0 +1,121 @@
+"""Tiled Pallas rasterizer vs the XLA fragment rasterizer (oracle).
+
+Runs in interpret mode on the CPU test mesh (conftest pins jax to cpu);
+the same kernels run compiled on TPU (validated on-chip: exact coverage/
+face-id match at 1024^2, ~60 fps at batch 32 vs 1.7 fps for the fragment
+path at window 48).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from tpubody.render import raster as R
+from tpubody.render import pallas_raster as PR
+
+
+def _scene(H, W, n_faces, max_extent, seed, n_chan=5):
+    """Random triangles with bounded projected extent (+ some offscreen)."""
+    rng = np.random.default_rng(seed)
+    V = n_faces  # independent triangles
+    verts = np.stack([
+        rng.uniform(-20, W + 20, V),
+        rng.uniform(-20, H + 20, V),
+        rng.uniform(1.0, 5.0, V),
+    ], 1).astype(np.float32)
+    faces = rng.integers(0, V, (n_faces, 3)).astype(np.int32)
+    tri = verts[faces]
+    cent = tri.mean(1, keepdims=True)
+    scale = np.minimum(
+        1.0, max_extent / (np.abs(tri[..., :2] - cent[..., :2])
+                           .max((1, 2), keepdims=True) * 2 + 1e-6))
+    tri = cent + (tri - cent) * scale
+    verts2 = tri.reshape(-1, 3).astype(np.float32)
+    faces2 = np.arange(n_faces * 3).reshape(n_faces, 3).astype(np.int32)
+    attrs = rng.uniform(size=(verts2.shape[0], n_chan)).astype(np.float32)
+    return verts2, faces2, attrs
+
+
+def _compare(H, W, n_faces, max_extent, seed, chunks=3):
+    verts, faces, attrs = _scene(H, W, n_faces, max_extent, seed)
+    vj, fj, aj = jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs)
+    ref = R.rasterize(vj, fj, aj, H, W, window=int(max_extent) + 8)
+    sx, sy = PR.max_span_for(max_extent)
+    got = PR.rasterize_tiled(vj, fj, aj, H, W, max_chunks=chunks,
+                             span_x=sx, span_y=sy, interpret=True)
+    m_ref = np.asarray(ref.mask)
+    m_got = np.asarray(got.mask)
+    assert (m_ref == m_got).all(), "coverage mismatch"
+    same = m_ref & m_got
+    assert (np.asarray(ref.face_id)[same]
+            == np.asarray(got.face_id)[same]).all(), "winner mismatch"
+    np.testing.assert_allclose(np.asarray(ref.attrs)[same],
+                               np.asarray(got.attrs)[same], atol=1e-4)
+    return same.sum()
+
+
+class TestZbufferTiled:
+    def test_matches_fragment_rasterizer_small(self):
+        assert _compare(64, 128, 40, 12, seed=0) > 300
+
+    def test_matches_fragment_rasterizer_multi_tile_faces(self):
+        # extents up to 30 px: faces span several 8x128 tiles
+        assert _compare(128, 256, 150, 30, seed=1) > 3000
+
+    def test_offscreen_and_degenerate_faces_ignored(self):
+        verts, faces, attrs = _scene(64, 128, 30, 10, seed=2)
+        verts[:9] = [[-500, -500, 1]] * 9        # offscreen
+        verts[9:12] = [[5.0, 5.0, 1.0]] * 3      # degenerate (zero area)
+        vj, fj, aj = (jnp.asarray(verts), jnp.asarray(faces),
+                      jnp.asarray(attrs))
+        got = PR.rasterize_tiled(vj, fj, aj, 64, 128, max_chunks=2,
+                                 interpret=True)
+        assert np.isfinite(np.asarray(got.attrs)).all()
+
+    def test_overflow_reported(self):
+        # 200 faces piled on one tile with capacity 1 chunk = 128
+        rng = np.random.default_rng(3)
+        V = 600
+        verts = np.stack([rng.uniform(4, 100, V), rng.uniform(1, 6, V),
+                          rng.uniform(1, 2, V)], 1).astype(np.float32)
+        faces = np.arange(600).reshape(200, 3).astype(np.int32)
+        _, ov = PR.zbuffer_tiled(jnp.asarray(verts)[None],
+                                 jnp.asarray(faces), 64, 128,
+                                 max_chunks=1, interpret=True)
+        assert int(ov) > 0
+
+
+class TestFusedRender:
+    def test_matches_oracle_attrs(self):
+        H, W = 64, 128
+        verts, faces, attrs = _scene(H, W, 40, 12, seed=4, n_chan=6)
+        vj, fj, aj = (jnp.asarray(verts), jnp.asarray(faces),
+                      jnp.asarray(attrs))
+        ref = R.rasterize(vj, fj, aj, H, W, window=24)
+        attr, mask, depth, ov = PR.render_attrs_tiled(
+            vj[None], fj, aj, H, W, max_chunks=4, interpret=True)
+        m_ref = np.asarray(ref.mask)
+        m_got = np.asarray(mask[0])
+        assert (m_ref == m_got).all()
+        same = m_ref & m_got
+        np.testing.assert_allclose(np.asarray(ref.attrs)[same],
+                                   np.asarray(attr[0])[same], atol=1e-3)
+        # quantized depth reconstruction stays close to the exact depth
+        dd = np.abs(np.asarray(ref.depth)[same] - np.asarray(depth[0])[same])
+        assert dd.max() < 1e-2
+        assert int(ov) == 0
+
+    def test_batched_frames_independent(self):
+        H, W = 64, 128
+        verts, faces, attrs = _scene(H, W, 30, 10, seed=5, n_chan=3)
+        v2 = verts.copy()
+        v2[:, 0] += 7.0   # shifted second frame
+        vb = jnp.asarray(np.stack([verts, v2]))
+        attr, mask, _, _ = PR.render_attrs_tiled(
+            vb, jnp.asarray(faces), jnp.asarray(attrs), H, W,
+            max_chunks=4, interpret=True)
+        a0, a1 = np.asarray(attr[0]), np.asarray(attr[1])
+        assert not np.allclose(a0, a1)
+        # frame 1 equals frame 0 rendered from shifted verts
+        ref1, m1r, _, _ = PR.render_attrs_tiled(
+            jnp.asarray(v2)[None], jnp.asarray(faces), jnp.asarray(attrs),
+            H, W, max_chunks=4, interpret=True)
+        np.testing.assert_allclose(a1, np.asarray(ref1[0]), atol=1e-5)

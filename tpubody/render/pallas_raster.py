@@ -1,0 +1,669 @@
+"""Tiled Pallas rasterizer — the TPU-native hot path for frame rendering.
+
+The XLA fragment rasterizer (render/raster.py) allocates faces x window^2
+candidate fragments and resolves them with a scatter-min; its cost and HBM
+footprint grow quadratically with the per-face pixel window (a 13776-face
+mesh at window 48 is ~31M fragments, ~0.6 s/frame on a v5e, and an 8-frame
+batch exceeds HBM).  This module replaces pass 1 with a tile-binned Pallas
+kernel that does the work the way the hardware wants:
+
+  Binning (XLA): each face is assigned to the 8x128-pixel tiles its bbox
+    overlaps (sort by tile id + segment gather); per tile a dense table of
+    face *edge coefficients* is built.  Edge functions and the depth plane
+    are affine in pixel coordinates, so a face chunk is just a coefficient
+    matrix.
+
+  Kernel (Pallas, grid = frames x tiles): for each chunk of 128 faces,
+    evaluate all edge functions for all 1024 tile pixels as ONE matmul
+    coef(640,4) @ pm(4,1024) on the MXU — faces on sublanes, pixels on
+    lanes, no scatter, no gather, no lane reshapes.  Coverage + packed
+    (depth<<bits|face) keys resolve with vectorized minimums; the loop over
+    chunks is a dynamic `fori_loop` bounded by the tile's real face count,
+    so empty tiles cost ~nothing.
+
+Pass 2 (exact barycentric shading of the winning face per pixel) reuses the
+XLA implementation (raster.shade_from_zbuf) — it is gather-bound and XLA
+handles it well.
+
+Same conventions as render/raster.py (screen-space verts, packed int32
+z-buffer, RasterOutput); replaces the opendr/open3d rasterization the
+reference used (utils/render_model.py:17-121, lib/model2video.py:226-309).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpubody.render import raster as raster_lib
+
+TILE_H = 8
+TILE_W = 128
+LP = TILE_H * TILE_W          # pixels per tile
+CF = 128                      # faces per kernel chunk
+EPS = 1e-7                    # edge-function tolerance (normalized units)
+INT32_MAX = raster_lib.INT32_MAX
+
+
+# ---------------------------------------------------------------------------
+# Binning: faces -> per-tile dense coefficient tables (pure XLA, vmap-safe).
+# ---------------------------------------------------------------------------
+
+
+def _edge_coef(ax, ay, bx, by, s):
+    """Coefficients (a, b, c) with e(p) = a*px + b*py + c equal to
+    cross(b - a, p - a) * s at pixel p."""
+    a = -(by - ay) * s
+    b = (bx - ax) * s
+    c = (ax * by - ay * bx) * s
+    return a, b, c
+
+
+def bin_faces(
+    verts: jnp.ndarray,        # (V, 3) screen space x_pix, y_pix, depth
+    faces: jnp.ndarray,        # (F, 3) int32
+    height: int,
+    width: int,
+    max_chunks: int,           # NC: per-tile face capacity = NC * 128
+    span_x: int = 2,
+    span_y: int = 5,
+    cull_backface: bool = False,
+    depth_ascending: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build the per-tile coefficient table for the kernel.
+
+    span_x/span_y bound how many tiles a face's bbox may overlap
+    (span_x=2, span_y=5 covers faces up to ~32 px extent with 8x128 tiles);
+    wider faces are only rendered in the tiles within the span — route
+    big faces through the XLA window path (rasterize_tiled does this).
+
+    Returns (table (T, NC, 640, 4) f32, nchunks (T,) i32, overflow ()).
+    """
+    TX, TY = width // TILE_W, height // TILE_H
+    T = TX * TY
+    F = int(faces.shape[0])
+    fb = raster_lib._face_bits(F)
+    depth_levels = 1 << (31 - fb)
+
+    xy = verts[:, :2]
+    z = verts[:, 2]
+    if not depth_ascending:
+        z = -z
+    zmin, zmax = jnp.min(z), jnp.max(z)
+    zscale = (depth_levels - 1) / jnp.maximum(zmax - zmin, 1e-12)
+
+    tri = faces.astype(jnp.int32)
+    p0, p1, p2 = xy[tri[:, 0]], xy[tri[:, 1]], xy[tri[:, 2]]
+    z0, z1, z2 = z[tri[:, 0]], z[tri[:, 1]], z[tri[:, 2]]
+
+    area = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - \
+           (p2[:, 0] - p0[:, 0]) * (p1[:, 1] - p0[:, 1])
+    if cull_backface:
+        face_ok = area > 1e-12
+    else:
+        face_ok = jnp.abs(area) > 1e-12
+    inv_area = jnp.where(face_ok, 1.0 / jnp.where(face_ok, area, 1.0), 0.0)
+
+    # Normalized edge slopes (same normalization as raster.rasterize, so
+    # the EPS tolerance and coverage semantics match).  The constant term is
+    # NOT expanded here: a*px + b*py + (ax*by - ay*bx) at global pixel
+    # coordinates cancels catastrophically in f32 at 1024^2 — instead the
+    # constant is evaluated per face-tile slot at the tile origin (below),
+    # and the kernel works in tile-local coordinates.
+    a0, b0, _ = _edge_coef(p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1], inv_area)
+    a1, b1, _ = _edge_coef(p2[:, 0], p2[:, 1], p0[:, 0], p0[:, 1], inv_area)
+    a2, b2, _ = _edge_coef(p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1], inv_area)
+    # Depth plane: d(p) = w0*z0q + w1*z1q + w2*z2q is affine too.
+    z0q, z1q, z2q = (z0 - zmin) * zscale, (z1 - zmin) * zscale, \
+        (z2 - zmin) * zscale
+    az = a0 * z0q + a1 * z1q + a2 * z2q
+    bz = b0 * z0q + b1 * z1q + b2 * z2q
+
+    # Tile spans from clipped bboxes.
+    bmin = jnp.minimum(jnp.minimum(p0, p1), p2)
+    bmax = jnp.maximum(jnp.maximum(p0, p1), p2)
+    onscreen = (face_ok & (bmax[:, 0] >= 0) & (bmin[:, 0] < width)
+                & (bmax[:, 1] >= 0) & (bmin[:, 1] < height))
+    tx0 = jnp.clip(jnp.floor(bmin[:, 0]).astype(jnp.int32) // TILE_W, 0,
+                   TX - 1)
+    tx1 = jnp.clip(jnp.floor(bmax[:, 0]).astype(jnp.int32) // TILE_W, 0,
+                   TX - 1)
+    ty0 = jnp.clip(jnp.floor(bmin[:, 1]).astype(jnp.int32) // TILE_H, 0,
+                   TY - 1)
+    ty1 = jnp.clip(jnp.floor(bmax[:, 1]).astype(jnp.int32) // TILE_H, 0,
+                   TY - 1)
+
+    # Enumerate up to span_x*span_y tile slots per face.
+    M = span_x * span_y
+    dx = jnp.arange(span_x, dtype=jnp.int32)
+    dy = jnp.arange(span_y, dtype=jnp.int32)
+    txs = tx0[:, None] + dx[None]                        # (F, span_x)
+    tys = ty0[:, None] + dy[None]                        # (F, span_y)
+    tid = (tys[:, :, None] * TX + txs[:, None, :])       # (F, sy, sx)
+    slot_ok = (onscreen[:, None, None]
+               & (tys <= ty1[:, None])[:, :, None]
+               & (txs <= tx1[:, None])[:, None, :])
+    keys = jnp.where(slot_ok, tid, T).reshape(F * M)
+    fids = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[:, None], (F, M)).reshape(F * M)
+
+    keys_s, fids_s = jax.lax.sort_key_val(keys, fids)
+    seg = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
+    counts = seg[1:] - seg[:-1]                          # (T,)
+    cap = max_chunks * CF
+    overflow = jnp.maximum(counts - cap, 0).sum()
+    counts_c = jnp.minimum(counts, cap)
+    nchunks = (counts_c + CF - 1) // CF                  # (T,)
+
+    # Dense per-tile face-index table (sentinel F for empty slots).
+    j = jnp.arange(cap, dtype=jnp.int32)
+    slot = jnp.clip(seg[:-1, None] + j[None], 0, F * M - 1)
+    in_cap = j[None] < counts_c[:, None]
+    fidx = jnp.where(in_cap, fids_s[slot], F)             # (T, cap)
+
+    # Per-face slope rows, with a fail-all sentinel row at index F:
+    # groups g in {e0, e1, e2, zq, fid}; columns [a, b, c_local, 0].
+    def cat(x, sentinel=0.0):
+        return jnp.concatenate([x, jnp.full((1,), sentinel, x.dtype)])
+
+    ga = jnp.stack([cat(a0), cat(a1), cat(a2), cat(az),
+                    jnp.zeros(F + 1)], 1)                 # (F+1, 5)
+    gb = jnp.stack([cat(b0), cat(b1), cat(b2), cat(bz),
+                    jnp.zeros(F + 1)], 1)
+    A = ga[fidx]                                          # (T, cap, 5)
+    Bc = gb[fidx]
+
+    # Per-slot constant terms, evaluated at each slot's TILE ORIGIN in the
+    # numerically stable cross-product form (differences stay O(tile+face)).
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    ox = ((tile_ids % TX) * TILE_W).astype(jnp.float32)[:, None]   # (T, 1)
+    oy = ((tile_ids // TX) * TILE_H).astype(jnp.float32)[:, None]
+
+    def catv(v):
+        return jnp.concatenate([v, jnp.zeros((1,) + v.shape[1:], v.dtype)])
+
+    q0 = catv(p0)[fidx]                                   # (T, cap, 2)
+    q1 = catv(p1)[fidx]
+    q2 = catv(p2)[fidx]
+    ia = cat(inv_area)[fidx]                              # (T, cap)
+
+    def edge_at_origin(a, b):
+        return ((b[..., 0] - a[..., 0]) * (oy - a[..., 1])
+                - (ox - a[..., 0]) * (b[..., 1] - a[..., 1])) * ia
+
+    c0 = edge_at_origin(q1, q2)                           # (T, cap)
+    c1 = edge_at_origin(q2, q0)
+    c2 = edge_at_origin(q0, q1)
+    zq0 = cat(z0q)[fidx]
+    zq1 = cat(z1q)[fidx]
+    zq2 = cat(z2q)[fidx]
+    cz = c0 * zq0 + c1 * zq1 + c2 * zq2
+    is_sent = fidx == F
+    c0 = jnp.where(is_sent, -1.0, c0)                     # sentinel: fail
+    c1 = jnp.where(is_sent, -1.0, c1)
+    c2 = jnp.where(is_sent, -1.0, c2)
+    cz = jnp.where(is_sent, 0.0, cz)
+    fid_v = jnp.where(is_sent, 0.0, fidx.astype(jnp.float32))
+    Cc = jnp.stack([c0, c1, c2, cz, fid_v], -1)           # (T, cap, 5)
+
+    zero = jnp.zeros_like(A)
+    # -> (T, NC, 5, CF, 4): chunk ci, group g, face lane f, column.
+    tab = jnp.stack([A, Bc, Cc, zero], axis=-1)           # (T, cap, 5, 4)
+    tab = tab.reshape(T, max_chunks, CF, 5, 4).transpose(0, 1, 3, 2, 4)
+    tab = tab.reshape(T, max_chunks, 5 * CF, 4)
+    return tab, nchunks.astype(jnp.int32), overflow
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+
+def _raster_kernel(nchunks_ref, table_ref, out_ref, *,
+                   fb: int, depth_levels: int):
+    n = nchunks_ref[pl.program_id(0), pl.program_id(1)]
+
+    # Pixel matrix pm (4, LP): rows [px, py, 1, 0] in TILE-LOCAL pixel
+    # coordinates (the constant coefficient row was evaluated at this
+    # tile's origin during binning — keeps f32 edge functions exact-ish);
+    # pixels on lanes with p = row_in_tile * TILE_W + col_in_tile.
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (4, LP), 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (4, LP), 0)
+    px = (pidx % TILE_W).astype(jnp.float32) + 0.5
+    py = (pidx // TILE_W).astype(jnp.float32) + 0.5
+    pm = jnp.where(ridx == 0, px,
+                   jnp.where(ridx == 1, py,
+                             jnp.where(ridx == 2, 1.0, 0.0)))
+
+    def body(ci, acc):
+        coef = table_ref[0, 0, ci]          # (640, 4)
+        E = jax.lax.dot_general(
+            coef, pm, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)          # (640, LP)
+        e0 = E[0 * CF:1 * CF]
+        e1 = E[1 * CF:2 * CF]
+        e2 = E[2 * CF:3 * CF]
+        zq = E[3 * CF:4 * CF]
+        fid = E[4 * CF:5 * CF]
+        inside = (e0 >= -EPS) & (e1 >= -EPS) & (e2 >= -EPS)
+        dq = jnp.clip(zq, 0.0, float(depth_levels - 1)).astype(jnp.int32)
+        key = (dq << fb) | fid.astype(jnp.int32)
+        cand = jnp.where(inside, key, INT32_MAX)
+        return jnp.minimum(acc, cand)
+
+    acc0 = jnp.full((CF, LP), INT32_MAX, jnp.int32)
+    acc = jax.lax.fori_loop(0, n, body, acc0)
+    out_ref[0, 0, :, :] = jnp.min(acc, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
+                     "cull_backface", "depth_ascending", "interpret"),
+)
+def zbuffer_tiled(
+    verts: jnp.ndarray,        # (B, V, 3) screen space
+    faces: jnp.ndarray,        # (F, 3)
+    height: int,
+    width: int,
+    max_chunks: int = 4,
+    span_x: int = 2,
+    span_y: int = 5,
+    cull_backface: bool = False,
+    depth_ascending: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed z-buffer (B, H, W) int32 for batched frames + overflow count.
+
+    Requires height % 8 == 0, width % 128 == 0.
+    """
+    if height % TILE_H or width % TILE_W:
+        raise ValueError("height must be a multiple of 8 and width of 128")
+    B = int(verts.shape[0])
+    F = int(faces.shape[0])
+    TX, TY = width // TILE_W, height // TILE_H
+    T = TX * TY
+    NC = max_chunks
+    fb = raster_lib._face_bits(F)
+    depth_levels = 1 << (31 - fb)
+
+    tab, nchunks, overflow = jax.vmap(
+        lambda v: bin_faces(v, faces, height, width, NC, span_x, span_y,
+                            cull_backface, depth_ascending))(verts)
+
+    kernel = functools.partial(_raster_kernel, fb=fb,
+                               depth_levels=depth_levels)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # nchunks (B, T) lands in SMEM
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, NC, 5 * CF, 4),
+                         lambda b, t, n_ref: (b, t, 0, 0, 0)),
+        ],
+        # Second-minor block dim must be 8-divisible or the full array dim;
+        # a singleton axis satisfies the latter.
+        out_specs=pl.BlockSpec((1, 1, 1, LP), lambda b, t, n_ref: (b, t, 0, 0)),
+    )
+    zflat = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, 1, LP), jnp.int32),
+        interpret=interpret,
+    )(nchunks.reshape(B, T), tab.reshape(B, T, NC, 5 * CF, 4))
+
+    zbuf = zflat.reshape(B, TY, TX, TILE_H, TILE_W)
+    zbuf = zbuf.transpose(0, 1, 3, 2, 4).reshape(B, height, width)
+    return zbuf, overflow.sum()
+
+
+def rasterize_tiled(
+    verts: jnp.ndarray,        # (V, 3) or (B, V, 3) screen space
+    faces: jnp.ndarray,        # (F, 3)
+    attrs: jnp.ndarray,        # (V, C)
+    height: int,
+    width: int,
+    max_chunks: int = 4,
+    span_x: int = 2,
+    span_y: int = 5,
+    cull_backface: bool = False,
+    depth_ascending: bool = True,
+    interpret: bool = False,
+) -> raster_lib.RasterOutput:
+    """Drop-in tiled replacement for raster.rasterize (single frame or a
+    batched leading axis).  Faces wider than the span budget should be
+    routed through raster.rasterize + merge_rasters by the caller (the
+    video path does — render/video.py)."""
+    squeeze = verts.ndim == 2
+    v = verts[None] if squeeze else verts
+    zbuf, _ = zbuffer_tiled(
+        v, faces, height, width, max_chunks, span_x, span_y,
+        cull_backface, depth_ascending, interpret)
+    out = jax.vmap(
+        lambda vv, zz: raster_lib.shade_from_zbuf(
+            zz, vv, faces, attrs, height, width,
+            depth_ascending=depth_ascending)
+    )(v, zbuf)
+    if squeeze:
+        out = jax.tree.map(lambda x: x[0], out)
+    return out
+
+
+def max_span_for(extent: float) -> Tuple[int, int]:
+    """Tile spans (span_x, span_y) that fully cover faces up to ``extent``
+    pixels of bbox width/height."""
+    sx = int(np.ceil(extent / TILE_W)) + 1
+    sy = int(np.ceil(extent / TILE_H)) + 1
+    return sx, sy
+
+
+# ---------------------------------------------------------------------------
+# Fused raster + attribute interpolation (the video hot path).
+#
+# Measured on a v5e: the shading pass's per-pixel gathers cost ~0.6 s per
+# 1024^2 frame — 4x the whole z-buffer pass.  Attribute planes are affine in
+# pixel coordinates exactly like the depth plane (A(p) = w0*A0 + w1*A1 +
+# w2*A2), so interpolation rides the same coefficient matmul: sweep 1 finds
+# the per-pixel winner key, sweep 2 re-evaluates each chunk and select-sums
+# the winner's attribute planes.  No per-pixel gathers anywhere.
+# ---------------------------------------------------------------------------
+
+CF_FUSED = 32      # faces per chunk: most covered tiles hold <32 faces
+MAX_ATTR = 8       # attr channels per fused call (padded to 8 sublanes)
+
+
+def _fused_rows(verts, faces, attrs, height, width):
+    """Per-face coefficient rows (F+1, 19 + 3C) with a sentinel last row.
+
+    Row layout: [x0,y0,x1,y1,x2,y2, a0,b0,a1,b1,a2,b2, az,bz,
+                 z0q,z1q,z2q, fid, inv_area, A0(0..C), A1(0..C), A2(0..C)].
+    """
+    F = int(faces.shape[0])
+    fb = raster_lib._face_bits(F)
+    depth_levels = 1 << (31 - fb)
+
+    xy = verts[:, :2]
+    z = verts[:, 2]
+    zmin, zmax = jnp.min(z), jnp.max(z)
+    zscale = (depth_levels - 1) / jnp.maximum(zmax - zmin, 1e-12)
+
+    tri = faces.astype(jnp.int32)
+    p0, p1, p2 = xy[tri[:, 0]], xy[tri[:, 1]], xy[tri[:, 2]]
+    z0, z1, z2 = z[tri[:, 0]], z[tri[:, 1]], z[tri[:, 2]]
+    area = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - \
+           (p2[:, 0] - p0[:, 0]) * (p1[:, 1] - p0[:, 1])
+    face_ok = jnp.abs(area) > 1e-12
+    inv_area = jnp.where(face_ok, 1.0 / jnp.where(face_ok, area, 1.0), 0.0)
+
+    a0, b0, _ = _edge_coef(p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1], inv_area)
+    a1, b1, _ = _edge_coef(p2[:, 0], p2[:, 1], p0[:, 0], p0[:, 1], inv_area)
+    a2, b2, _ = _edge_coef(p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1], inv_area)
+    z0q, z1q, z2q = (z0 - zmin) * zscale, (z1 - zmin) * zscale, \
+        (z2 - zmin) * zscale
+    az = a0 * z0q + a1 * z1q + a2 * z2q
+    bz = b0 * z0q + b1 * z1q + b2 * z2q
+    fid = jnp.arange(F, dtype=jnp.float32)
+
+    A0, A1, A2 = attrs[tri[:, 0]], attrs[tri[:, 1]], attrs[tri[:, 2]]
+    rows = jnp.concatenate([
+        p0, p1, p2,
+        jnp.stack([a0, b0, a1, b1, a2, b2, az, bz,
+                   z0q, z1q, z2q, fid, inv_area], 1),
+        A0, A1, A2,
+    ], axis=1)
+    rows = jnp.concatenate([rows, jnp.zeros((1, rows.shape[1]),
+                                            rows.dtype)], 0)
+    meta = dict(face_ok=face_ok, p0=p0, p1=p1, p2=p2,
+                zmin=zmin, zscale=zscale, fb=fb,
+                depth_levels=depth_levels)
+    return rows, meta
+
+
+def _bin_fused(verts, faces, attrs, height, width, max_chunks,
+               span_x, span_y):
+    """Binning for the fused kernel: one row-gather + per-slot constants.
+
+    Returns (tab (T, NC, G*CF, 4), nchunks (T,), overflow) with
+    G = 5 + C groups ordered [e0, e1, e2, zq, fid, attr_0..attr_{C-1}].
+    """
+    TX, TY = width // TILE_W, height // TILE_H
+    T = TX * TY
+    F = int(faces.shape[0])
+    C = int(attrs.shape[1])
+    G = 5 + C
+    CF = CF_FUSED
+    cap = max_chunks * CF
+
+    rows, meta = _fused_rows(verts, faces, attrs, height, width)
+    p0, p1, p2 = meta["p0"], meta["p1"], meta["p2"]
+    face_ok = meta["face_ok"]
+
+    bmin = jnp.minimum(jnp.minimum(p0, p1), p2)
+    bmax = jnp.maximum(jnp.maximum(p0, p1), p2)
+    onscreen = (face_ok & (bmax[:, 0] >= 0) & (bmin[:, 0] < width)
+                & (bmax[:, 1] >= 0) & (bmin[:, 1] < height))
+    tx0 = jnp.clip(jnp.floor(bmin[:, 0]).astype(jnp.int32) // TILE_W, 0,
+                   TX - 1)
+    tx1 = jnp.clip(jnp.floor(bmax[:, 0]).astype(jnp.int32) // TILE_W, 0,
+                   TX - 1)
+    ty0 = jnp.clip(jnp.floor(bmin[:, 1]).astype(jnp.int32) // TILE_H, 0,
+                   TY - 1)
+    ty1 = jnp.clip(jnp.floor(bmax[:, 1]).astype(jnp.int32) // TILE_H, 0,
+                   TY - 1)
+
+    M = span_x * span_y
+    dx = jnp.arange(span_x, dtype=jnp.int32)
+    dy = jnp.arange(span_y, dtype=jnp.int32)
+    txs = tx0[:, None] + dx[None]
+    tys = ty0[:, None] + dy[None]
+    tid = (tys[:, :, None] * TX + txs[:, None, :])
+    slot_ok = (onscreen[:, None, None]
+               & (tys <= ty1[:, None])[:, :, None]
+               & (txs <= tx1[:, None])[:, None, :])
+    keys = jnp.where(slot_ok, tid, T).reshape(F * M)
+    fids = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[:, None], (F, M)).reshape(F * M)
+    keys_s, fids_s = jax.lax.sort_key_val(keys, fids)
+    seg = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
+    counts = seg[1:] - seg[:-1]
+    overflow = jnp.maximum(counts - cap, 0).sum()
+    counts_c = jnp.minimum(counts, cap)
+    nchunks = (counts_c + CF - 1) // CF
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+    slot = jnp.clip(seg[:-1, None] + j[None], 0, F * M - 1)
+    fidx = jnp.where(j[None] < counts_c[:, None], fids_s[slot], F)  # (T,cap)
+
+    R = rows[fidx]                                       # (T, cap, L) 1 gather
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    ox = ((tile_ids % TX) * TILE_W).astype(jnp.float32)[:, None]
+    oy = ((tile_ids // TX) * TILE_H).astype(jnp.float32)[:, None]
+
+    x0, y0 = R[..., 0], R[..., 1]
+    x1, y1 = R[..., 2], R[..., 3]
+    x2, y2 = R[..., 4], R[..., 5]
+    a0, b0 = R[..., 6], R[..., 7]
+    a1, b1 = R[..., 8], R[..., 9]
+    a2, b2 = R[..., 10], R[..., 11]
+    az, bz = R[..., 12], R[..., 13]
+    z0q, z1q, z2q = R[..., 14], R[..., 15], R[..., 16]
+    fidv = R[..., 17]
+    ia = R[..., 18]
+
+    def cross_at_origin(ax_, ay_, bx_, by_):
+        return ((bx_ - ax_) * (oy - ay_) - (ox - ax_) * (by_ - ay_)) * ia
+
+    c0 = cross_at_origin(x1, y1, x2, y2)
+    c1 = cross_at_origin(x2, y2, x0, y0)
+    c2 = cross_at_origin(x0, y0, x1, y1)
+    is_sent = fidx == F
+    c0 = jnp.where(is_sent, -1.0, c0)
+    c1 = jnp.where(is_sent, -1.0, c1)
+    c2 = jnp.where(is_sent, -1.0, c2)
+    cz = c0 * z0q + c1 * z1q + c2 * z2q
+
+    A0 = R[..., 19:19 + C]
+    A1 = R[..., 19 + C:19 + 2 * C]
+    A2 = R[..., 19 + 2 * C:19 + 3 * C]
+    aA = (a0[..., None] * A0 + a1[..., None] * A1 + a2[..., None] * A2)
+    bA = (b0[..., None] * A0 + b1[..., None] * A1 + b2[..., None] * A2)
+    cA = (c0[..., None] * A0 + c1[..., None] * A1 + c2[..., None] * A2)
+
+    # Assemble as (T, NC, 4, G*CF): coefficient columns on the second-minor
+    # axis, lanes = g-major face blocks.  A trailing dim of 4 would be
+    # tile-padded 32x in HBM (32x kernel DMA + OOM at batch 32); this
+    # layout pads ~2x only.
+    zero = jnp.zeros_like(a0)
+
+    def col(vals):     # list of G (T, cap) arrays -> (T, NC, G*CF)
+        s = jnp.stack(vals, axis=2)                      # (T, cap, G)
+        s = s.reshape(T, max_chunks, CF, G).transpose(0, 1, 3, 2)
+        return s.reshape(T, max_chunks, G * CF)
+
+    attr_cols = lambda X: [X[..., c] for c in range(C)]  # noqa: E731
+    colA = col([a0, a1, a2, az, zero] + attr_cols(aA))
+    colB = col([b0, b1, b2, bz, zero] + attr_cols(bA))
+    colC = col([c0, c1, c2, cz, fidv] + attr_cols(cA))
+    tab = jnp.stack([colA, colB, colC, jnp.zeros_like(colA)], axis=2)
+    return tab, nchunks.astype(jnp.int32), overflow, meta
+
+
+def _fused_kernel(nchunks_ref, table_ref, key_ref, attr_ref, *,
+                  fb: int, depth_levels: int, n_attr: int):
+    CF = CF_FUSED
+    n = nchunks_ref[pl.program_id(0), pl.program_id(1)]
+
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (4, LP), 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (4, LP), 0)
+    px = (pidx % TILE_W).astype(jnp.float32) + 0.5
+    py = (pidx // TILE_W).astype(jnp.float32) + 0.5
+    pm = jnp.where(ridx == 0, px,
+                   jnp.where(ridx == 1, py,
+                             jnp.where(ridx == 2, 1.0, 0.0)))
+
+    def keys_of(E):
+        e0 = E[0 * CF:1 * CF]
+        e1 = E[1 * CF:2 * CF]
+        e2 = E[2 * CF:3 * CF]
+        zq = E[3 * CF:4 * CF]
+        fid = E[4 * CF:5 * CF]
+        inside = (e0 >= -EPS) & (e1 >= -EPS) & (e2 >= -EPS)
+        dq = jnp.clip(zq, 0.0, float(depth_levels - 1)).astype(jnp.int32)
+        key = (dq << fb) | fid.astype(jnp.int32)
+        return jnp.where(inside, key, INT32_MAX)
+
+    def sweep1(ci, win):
+        coef = table_ref[0, 0, ci]                       # (4, G*CF)
+        E = jax.lax.dot_general(
+            coef[:, 0:5 * CF], pm, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)         # (5CF, LP)
+        cand = keys_of(E)
+        return jnp.minimum(win, jnp.min(cand, axis=0, keepdims=True))
+
+    win = jax.lax.fori_loop(
+        0, n, sweep1, jnp.full((1, LP), INT32_MAX, jnp.int32))
+    hit = win != INT32_MAX
+
+    def sweep2(ci, acc):
+        coef = table_ref[0, 0, ci]                       # (4, G*CF)
+        E = jax.lax.dot_general(
+            coef, pm, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)         # (G*CF, LP)
+        cand = keys_of(E[0:5 * CF])
+        sel = (cand == win) & hit                        # (CF, LP)
+        parts = []
+        for c in range(n_attr):
+            Ac = E[(5 + c) * CF:(6 + c) * CF]            # (CF, LP)
+            parts.append(jnp.sum(jnp.where(sel, Ac, 0.0), axis=0,
+                                 keepdims=True))
+        for _ in range(MAX_ATTR - n_attr):
+            parts.append(jnp.zeros((1, LP), jnp.float32))
+        return acc + jnp.concatenate(parts, axis=0)
+
+    attr = jax.lax.fori_loop(
+        0, n, sweep2, jnp.zeros((MAX_ATTR, LP), jnp.float32))
+
+    key_ref[0, 0] = win
+    attr_ref[0, 0] = attr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
+                     "interpret"),
+)
+def render_attrs_tiled(
+    verts: jnp.ndarray,        # (B, V, 3) screen space
+    faces: jnp.ndarray,        # (F, 3)
+    attrs: jnp.ndarray,        # (V, C), C <= 8
+    height: int,
+    width: int,
+    max_chunks: int = 8,
+    span_x: int = 2,
+    span_y: int = 5,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused rasterize+interpolate for batched frames.
+
+    Returns (attr (B, H, W, C), mask (B, H, W), depth (B, H, W),
+    overflow ()).  Depth is reconstructed from the quantized winner key
+    (21+ bits over the mesh z-range — plenty for shading/compositing).
+    """
+    if height % TILE_H or width % TILE_W:
+        raise ValueError("height must be a multiple of 8 and width of 128")
+    B = int(verts.shape[0])
+    C = int(attrs.shape[1])
+    if C > MAX_ATTR:
+        raise ValueError(f"at most {MAX_ATTR} attribute channels per call")
+    F = int(faces.shape[0])
+    TX, TY = width // TILE_W, height // TILE_H
+    T = TX * TY
+    NC = max_chunks
+    G = 5 + C
+    fb = raster_lib._face_bits(F)
+    depth_levels = 1 << (31 - fb)
+
+    tab, nchunks, overflow, metas = jax.vmap(
+        lambda v: _bin_fused(v, faces, attrs, height, width, NC,
+                             span_x, span_y))(verts)
+
+    kernel = functools.partial(_fused_kernel, fb=fb,
+                               depth_levels=depth_levels, n_attr=C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, NC, 4, G * CF_FUSED),
+                         lambda b, t, n_ref: (b, t, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, LP), lambda b, t, n_ref: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, MAX_ATTR, LP),
+                         lambda b, t, n_ref: (b, t, 0, 0)),
+        ],
+    )
+    win, attr = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, 1, LP), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, MAX_ATTR, LP), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nchunks.reshape(B, T), tab)
+
+    def detile(x):          # (B, T, LP) -> (B, H, W)
+        x = x.reshape(B, TY, TX, TILE_H, TILE_W)
+        return x.transpose(0, 1, 3, 2, 4).reshape(B, height, width)
+
+    win_img = detile(win[:, :, 0])
+    hit = win_img != INT32_MAX
+    dq = jnp.where(hit, win_img >> fb, 0).astype(jnp.float32)
+    depth = jnp.where(hit, metas["zmin"][:, None, None]
+                      + dq / metas["zscale"][:, None, None], jnp.inf)
+    attr_img = jnp.stack([detile(attr[:, :, c]) for c in range(C)], -1)
+    return attr_img, hit, depth, overflow.sum()

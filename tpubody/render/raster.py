@@ -139,12 +139,37 @@ def rasterize(
 
     zbuf = jnp.full((height * width + 1,), INT32_MAX, jnp.int32)
     zbuf = zbuf.at[lin.reshape(-1)].min(packed.reshape(-1))
-    zbuf = zbuf[: height * width]
+    zbuf = zbuf[: height * width].reshape(height, width)
 
-    hit = zbuf != INT32_MAX
-    win_face = jnp.where(hit, zbuf & ((1 << fb) - 1), 0)
+    return shade_from_zbuf(zbuf, verts, faces, attrs, height, width,
+                           depth_ascending=depth_ascending)
 
-    # Pass 2: exact shading of the winning face per pixel.
+
+def shade_from_zbuf(
+    zbuf: jnp.ndarray,      # (H, W) packed int32 (depth << fb | face)
+    verts: jnp.ndarray,     # (V, 3) screen space
+    faces: jnp.ndarray,     # (F, 3)
+    attrs: jnp.ndarray,     # (V, C)
+    height: int,
+    width: int,
+    depth_ascending: bool = True,
+) -> RasterOutput:
+    """Pass 2: exact barycentric shading of each pixel's winning face.
+
+    Shared by the XLA fragment path above and the tiled Pallas path
+    (render/pallas_raster.py) — both produce the same packed z-buffer."""
+    F = int(faces.shape[0])
+    fb = _face_bits(F)
+    tri = faces.astype(jnp.int32)
+    xy = verts[:, :2]
+    z = verts[:, 2]
+    if not depth_ascending:
+        z = -z
+
+    flat = zbuf.reshape(-1)
+    hit = flat != INT32_MAX
+    win_face = jnp.where(hit, flat & ((1 << fb) - 1), 0)
+
     gx = (jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
           .reshape(-1).astype(verts.dtype) + 0.5)
     gy = (jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
