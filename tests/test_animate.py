@@ -179,3 +179,56 @@ def test_render_frame_binned_matches_plain():
         small_window=16, large_window=96))
     diff = np.abs(plain - binned)
     assert (diff < 1e-4).mean() > 0.999   # identical off tie-broken edges
+
+
+class TestTiledVideoPath:
+    def test_animate_video_tiled_path(self, tmp_path):
+        """128x128 frames tile into 8x128 blocks -> the fused Pallas
+        renderer path (render_frames_tiled) drives the video."""
+        av = _sphere_avatar()
+        rng = np.random.default_rng(7)
+        clip = motion_lib.MotionClip(
+            poses=rng.normal(scale=0.05, size=(5, 24, 3)),
+            trans=np.zeros((5, 3)), fps=30.0)
+        out = str(tmp_path / "tiled.mp4")
+        animate_lib.animate_video(
+            av, clip, out, size=128, focal=300.0,
+            cam_t=np.array([0.0, 0.0, 3.0]), chunk=4)
+        assert os.path.exists(out)
+        assert os.path.getsize(out) > 500
+
+    def test_tiled_matches_fragment_renderer(self):
+        """Same avatar/pose through render_frames_tiled and the fragment
+        render_frames must produce (nearly) the same image."""
+        from tpubody.render import video as video_lib
+        import jax.numpy as jnp
+        av = _sphere_avatar()
+        verts = np.asarray(rigging.animate(
+            av, np.zeros((1, 24, 3)), np.zeros((1, 3))))
+        size, focal = 128, 300.0
+        cam = jnp.asarray([0.0, 0.0, 3.0], jnp.float32)
+        colors = jnp.asarray(np.asarray(av.color) / 1.0, jnp.float32)
+        bg = jnp.ones((size, size, 3), jnp.float32)
+        vj = jnp.asarray(verts, jnp.float32)
+        fj = jnp.asarray(av.faces, jnp.int32)
+        plan = video_lib.plan_tiled_render(
+            av.v_template, av.faces, np.array([0.0, 0.0, 3.0]),
+            size, size, focal)
+        lf = (jnp.asarray(plan["large_faces"])
+              if plan["large_faces"].shape[0] else None)
+        tiled = np.asarray(video_lib.render_frames_tiled(
+            vj, jnp.asarray(plan["small_faces"]), lf, fj, colors, cam, bg,
+            height=size, width=size, focal=focal,
+            max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+            span_y=plan["span_y"], large_window=plan["large_window"],
+            to_uint8=False))[0]
+        w = video_lib.auto_window(av.v_template, av.faces,
+                                  np.array([0.0, 0.0, 3.0]), size, size,
+                                  focal)
+        frag = np.asarray(video_lib.render_frames(
+            vj, fj, colors, cam, bg, height=size, width=size,
+            focal=focal, window=w))[0]
+        # same light/shading model; differences only at sub-pixel edges
+        agree = np.isclose(tiled, frag, atol=2e-2).mean()
+        assert agree > 0.995, agree
+

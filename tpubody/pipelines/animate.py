@@ -61,40 +61,23 @@ def animate_video(
     # All-frame skinning in one program.
     verts_all = rigging.animate(avatar, poses, trans)
 
-    if window is None:
-        # Per-avatar rasterization window from projected face extents —
-        # the pass-1 fragment count (and throughput) is quadratic in it.
-        window = video_lib.auto_window(
-            avatar.v_template, avatar.faces, np.asarray(cam_t),
-            size, size, focal)
-
-    # Reconstructed avatars have ~700k mostly-subpixel faces plus a few
-    # large band faces; a single conservative window would allocate
-    # faces x window^2 x chunk fragments (OOM).  Above a fragment budget,
-    # switch to the two-class binned rasterizer, frame by frame.
-    FRAG_BUDGET = 1 << 28
-    use_binned = avatar.faces.shape[0] * window * window * chunk > FRAG_BUDGET
-    if use_binned:
-        from tpubody.render import raster as raster_lib
-        v0 = np.asarray(avatar.v_template) @ video_lib._PRE_ROT.T
-        v0 = (v0 + np.asarray(cam_t)) @ video_lib._FLIP_YZ.T
-        z0 = np.maximum(-v0[:, 2], 1e-6)
-        screen0 = np.stack([v0[:, 0] / z0 * focal + size / 2,
-                            -v0[:, 1] / z0 * focal + size / 2, z0], axis=1)
-        tri = screen0[:, :2][np.asarray(avatar.faces)]
-        ext = (tri.max(axis=1) - tri.min(axis=1)).max(axis=1)
-        large_w = int(min(max(np.ceil(ext.max() * 1.3 / 8) * 8 + 8, 32), 512))
-        # Pick the small-class window minimizing total fragments
-        # (N_small * s^2 + N_large * large_w^2): grid meshes are dominated
-        # by ~1px faces, so the optimum is much tighter than any percentile.
-        candidates = (8, 16, 24, 32, 48)
-        costs = [( (ext <= s - 2).sum() * s * s
-                   + (ext > s - 2).sum() * large_w * large_w, s)
-                 for s in candidates]
-        small_w = min(costs)[1]
-        sf, lf = raster_lib.split_faces_by_extent(
-            screen0, avatar.faces, small_w)
-        sf_j, lf_j = jnp.asarray(sf), jnp.asarray(lf)
+    # Host-side render plan: tile spans + per-tile capacity for the fused
+    # Pallas rasterizer, and the few oversized faces routed to the fragment
+    # path (render/video.py::plan_tiled_render).  Frame sizes that don't
+    # tile into 8x128 blocks fall back to the fragment renderer.
+    tiled = size % 128 == 0
+    if tiled:
+        plan = video_lib.plan_tiled_render(
+            avatar.v_template, avatar.faces, np.asarray(cam_t), size, size,
+            focal)
+        sf_j = jnp.asarray(plan["small_faces"])
+        lf_j = (jnp.asarray(plan["large_faces"])
+                if plan["large_faces"].shape[0] else None)
+    else:
+        if window is None:
+            window = video_lib.auto_window(
+                avatar.v_template, avatar.faces, np.asarray(cam_t),
+                size, size, focal)
 
     if mesh is not None:
         verts_all = mesh_lib.shard_frames(verts_all, mesh)
@@ -102,27 +85,27 @@ def animate_video(
     writer = video_lib.VideoWriter(
         out_path, fps=fps or (clip.fps / stride), size=(size, size))
     with writer:
-        if use_binned:
-            for i in range(F):
-                frame = video_lib.render_frame_binned(
-                    verts_all[i], sf_j, lf_j, faces_j, colors_j, cam, bg,
+        for s in range(0, F, chunk):
+            block = verts_all[s:s + chunk]
+            n = block.shape[0]
+            if n < chunk:  # pad to the compiled chunk shape
+                block = jnp.concatenate(
+                    [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
+                    axis=0)
+            if tiled:
+                frames = video_lib.render_frames_tiled(
+                    block, sf_j, lf_j, faces_j, colors_j, cam, bg,
                     height=size, width=size, focal=focal,
-                    small_window=small_w, large_window=large_w)
-                writer.write(np.asarray(frame))
-        else:
-            for s in range(0, F, chunk):
-                block = verts_all[s:s + chunk]
-                n = block.shape[0]
-                if n < chunk:  # pad to the compiled chunk shape
-                    block = jnp.concatenate(
-                        [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
-                        axis=0)
+                    max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+                    span_y=plan["span_y"],
+                    large_window=plan["large_window"])
+            else:
                 frames = video_lib.render_frames(
                     block, faces_j, colors_j, cam, bg,
                     height=size, width=size, focal=focal, window=window)
-                frames_np = np.asarray(frames)  # device->host gather
-                for i in range(n):
-                    writer.write(frames_np[i])
+            frames_np = np.asarray(frames)  # device->host (uint8 if tiled)
+            for i in range(n):
+                writer.write(frames_np[i])
     return out_path
 
 

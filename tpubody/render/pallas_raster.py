@@ -276,12 +276,14 @@ def zbuffer_tiled(
     span_y: int = 5,
     cull_backface: bool = False,
     depth_ascending: bool = True,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed z-buffer (B, H, W) int32 for batched frames + overflow count.
 
     Requires height % 8 == 0, width % 128 == 0.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if height % TILE_H or width % TILE_W:
         raise ValueError("height must be a multiple of 8 and width of 128")
     B = int(verts.shape[0])
@@ -332,7 +334,7 @@ def rasterize_tiled(
     span_y: int = 5,
     cull_backface: bool = False,
     depth_ascending: bool = True,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> raster_lib.RasterOutput:
     """Drop-in tiled replacement for raster.rasterize (single frame or a
     batched leading axis).  Faces wider than the span budget should be
@@ -599,13 +601,13 @@ def _fused_kernel(nchunks_ref, table_ref, key_ref, attr_ref, *,
 def render_attrs_tiled(
     verts: jnp.ndarray,        # (B, V, 3) screen space
     faces: jnp.ndarray,        # (F, 3)
-    attrs: jnp.ndarray,        # (V, C), C <= 8
+    attrs: jnp.ndarray,        # (V, C) shared or (B, V, C) per frame; C <= 8
     height: int,
     width: int,
     max_chunks: int = 8,
     span_x: int = 2,
     span_y: int = 5,
-    interpret: bool = False,
+    interpret: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused rasterize+interpolate for batched frames.
 
@@ -613,10 +615,12 @@ def render_attrs_tiled(
     overflow ()).  Depth is reconstructed from the quantized winner key
     (21+ bits over the mesh z-range — plenty for shading/compositing).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if height % TILE_H or width % TILE_W:
         raise ValueError("height must be a multiple of 8 and width of 128")
     B = int(verts.shape[0])
-    C = int(attrs.shape[1])
+    C = int(attrs.shape[-1])
     if C > MAX_ATTR:
         raise ValueError(f"at most {MAX_ATTR} attribute channels per call")
     F = int(faces.shape[0])
@@ -627,9 +631,11 @@ def render_attrs_tiled(
     fb = raster_lib._face_bits(F)
     depth_levels = 1 << (31 - fb)
 
+    if attrs.ndim == 2:
+        attrs = jnp.broadcast_to(attrs, (B,) + attrs.shape)
     tab, nchunks, overflow, metas = jax.vmap(
-        lambda v: _bin_fused(v, faces, attrs, height, width, NC,
-                             span_x, span_y))(verts)
+        lambda v, a: _bin_fused(v, faces, a, height, width, NC,
+                                span_x, span_y))(verts, attrs)
 
     kernel = functools.partial(_fused_kernel, fb=fb,
                                depth_levels=depth_levels, n_attr=C)

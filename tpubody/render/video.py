@@ -129,6 +129,133 @@ def render_frame_binned(
     return jnp.clip(img, 0.0, 1.0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
+                     "large_window", "to_uint8"))
+def render_frames_tiled(
+    verts_seq: jnp.ndarray,    # (B, V, 3) posed vertices
+    small_faces: jnp.ndarray,  # (Fs, 3) faces within the tile-span budget
+    large_faces: Optional[jnp.ndarray],   # (Fl, 3) oversized faces or None
+    all_faces: jnp.ndarray,    # (F, 3) full topology (for vertex normals)
+    colors: jnp.ndarray,       # (V, 3)
+    cam_t: jnp.ndarray,
+    background: jnp.ndarray,
+    height: int = DEFAULT_SIZE,
+    width: int = DEFAULT_SIZE,
+    focal: float = DEFAULT_FOCAL,
+    max_chunks: int = 8,
+    span_x: int = 2,
+    span_y: int = 5,
+    large_window: int = 256,
+    to_uint8: bool = True,
+) -> jnp.ndarray:
+    """Batch-render frames through the fused tiled Pallas rasterizer.
+
+    ~35x faster than the fragment path at 1024^2 (no faces x window^2
+    fragment blow-up, no per-pixel shading gathers).  Oversized faces
+    (projected extent beyond the span budget) render through the fragment
+    path and depth-composite — body meshes have few or none.  Returns
+    (B, H, W, 3) uint8 (4x smaller host transfer) unless ``to_uint8=False``.
+    """
+    from tpubody.render import pallas_raster as PR
+
+    v = verts_seq @ jnp.asarray(_PRE_ROT.T, verts_seq.dtype)
+    v = (v + cam_t) @ jnp.asarray(_FLIP_YZ.T, verts_seq.dtype)
+    z = jnp.maximum(-v[..., 2:3], 1e-6)
+    x = v[..., 0:1] / z * focal + width / 2.0
+    y = -v[..., 1:2] / z * focal + height / 2.0
+    screen = jnp.concatenate([x, y, z], axis=-1)
+
+    normals = jax.vmap(lambda vv: raster_lib.vertex_normals(vv, all_faces))(v)
+    attrs = jnp.concatenate(
+        [jnp.broadcast_to(colors, normals.shape), normals], axis=-1)
+
+    attr, mask, depth, _ = PR.render_attrs_tiled(
+        screen, small_faces, attrs, height, width,
+        max_chunks=max_chunks, span_x=span_x, span_y=span_y)
+
+    if large_faces is not None and int(large_faces.shape[0]) > 0:
+        big = jax.vmap(
+            lambda s, a: raster_lib.rasterize(
+                s, large_faces, a, height, width, window=large_window)
+        )(screen, attrs)
+        take_big = big.depth < depth
+        attr = jnp.where(take_big[..., None], big.attrs, attr)
+        mask = mask | big.mask
+
+    col = attr[..., :3]
+    nrm = attr[..., 3:6]
+    L = jnp.asarray((0.3, 0.3, -1.0), col.dtype)
+    L = L / jnp.linalg.norm(L)
+    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                          1e-12)
+    diff = jnp.clip(jnp.abs(jnp.einsum("bhwc,c->bhw", n, L)), 0.0, 1.0)
+    shaded = col * (0.35 + 0.65 * diff)[..., None]
+    img = jnp.where(mask[..., None], shaded, background)
+    img = jnp.clip(img, 0.0, 1.0)
+    if to_uint8:
+        return (img * 255.0 + 0.5).astype(jnp.uint8)
+    return img
+
+
+def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
+                      height: int = DEFAULT_SIZE, width: int = DEFAULT_SIZE,
+                      focal: float = DEFAULT_FOCAL, slack: float = 1.4,
+                      max_small_extent: float = 48.0):
+    """Host-side planning for render_frames_tiled: split faces into the
+    tile-span (small) and fragment-window (large) classes from the rest
+    pose's projected extents, size the tile spans, and bound the per-tile
+    face capacity (max_chunks) from a rest-pose bin count.  ``slack``
+    absorbs animation deformation."""
+    from tpubody.render import pallas_raster as PR
+
+    v = np.asarray(verts, np.float64) @ _PRE_ROT.T
+    v = (v + np.asarray(cam_t)) @ _FLIP_YZ.T
+    z = np.maximum(-v[:, 2], 1e-6)
+    xs = v[:, 0] / z * focal + width / 2.0
+    ys = -v[:, 1] / z * focal + height / 2.0
+    pts = np.stack([xs, ys], axis=1)
+    f = np.asarray(faces)
+    tri = pts[f]
+    ext = (tri.max(axis=1) - tri.min(axis=1)).max(axis=1) * slack
+
+    small_bound = min(float(max_small_extent), float(ext.max()) + 1.0)
+    small = f[ext <= small_bound]
+    large = f[ext > small_bound]
+    span_x, span_y = PR.max_span_for(small_bound)
+
+    # Rest-pose per-tile occupancy -> chunk capacity.
+    TX = width // PR.TILE_W
+    TY = height // PR.TILE_H
+    stri = tri[ext <= small_bound]
+    bmin = stri.min(axis=1)
+    bmax = stri.max(axis=1)
+    tx0 = np.clip(np.floor(bmin[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
+    tx1 = np.clip(np.floor(bmax[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
+    ty0 = np.clip(np.floor(bmin[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
+    ty1 = np.clip(np.floor(bmax[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
+    count = np.zeros(TX * TY, np.int64)
+    for dy in range(span_y):
+        for dx in range(span_x):
+            tid = np.clip(ty0 + dy, 0, TY - 1) * TX + np.clip(tx0 + dx, 0,
+                                                              TX - 1)
+            ok = (ty0 + dy <= ty1) & (tx0 + dx <= tx1)
+            np.add.at(count, tid[ok], 1)
+    peak = int(count.max()) if count.size else 0
+    max_chunks = int(np.clip(
+        np.ceil(peak * slack / PR.CF_FUSED), 1, 64))
+
+    large_window = 256
+    if large.shape[0]:
+        lw = float(ext[ext > small_bound].max())
+        large_window = int(min(max(np.ceil(lw / 8) * 8 + 8, 32), 512))
+    return dict(small_faces=small.astype(np.int32),
+                large_faces=large.astype(np.int32),
+                span_x=span_x, span_y=span_y, max_chunks=max_chunks,
+                large_window=large_window)
+
+
 def auto_window(verts: np.ndarray, faces: np.ndarray, cam_t,
                 height: int = DEFAULT_SIZE, width: int = DEFAULT_SIZE,
                 focal: float = DEFAULT_FOCAL, slack: float = 1.3,
@@ -166,9 +293,11 @@ class VideoWriter:
         self.writer = cv2.VideoWriter(path, fourcc, fps, size)
         self.path = path
 
-    def write(self, frame01: np.ndarray) -> None:
-        """frame01: (H, W, 3) float in [0,1], RGB."""
-        img = (np.clip(np.asarray(frame01), 0, 1) * 255).astype(np.uint8)
+    def write(self, frame: np.ndarray) -> None:
+        """frame: (H, W, 3) RGB — float in [0,1] or uint8."""
+        img = np.asarray(frame)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         self.writer.write(img[:, :, ::-1])  # RGB -> BGR
 
     def close(self) -> None:
