@@ -73,6 +73,10 @@ def animate_video(
         sf_j = jnp.asarray(plan["small_faces"])
         lf_j = (jnp.asarray(plan["large_faces"])
                 if plan["large_faces"].shape[0] else None)
+        # Coefficient-table HBM scales with frames x per-tile capacity;
+        # dense reconstructed avatars (high max_chunks) render in smaller
+        # frame chunks to keep the transient table bounded (~1.5 GB).
+        chunk = max(1, min(chunk, 256 // plan["max_chunks"]))
     else:
         if window is None:
             window = video_lib.auto_window(
@@ -144,6 +148,19 @@ def orbit_video(
     writer = video_lib.VideoWriter(out_path, fps=30.0, size=(size, size))
     chunk = kw.get("chunk", 8)
     varr = jnp.asarray(np.stack(frames), jnp.float32)
+    faces_j = jnp.asarray(avatar.faces, jnp.int32)
+    colors_j = jnp.asarray(colors, jnp.float32)
+    cam = jnp.asarray(np.asarray(cam_t), jnp.float32)
+    tiled = size % 128 == 0
+    if tiled:
+        # Plan from the orbit's first frame (extents are rotation-stable
+        # up to the slack factor).
+        plan = video_lib.plan_tiled_render(
+            frames[0], avatar.faces, np.asarray(cam_t), size, size, focal)
+        sf_j = jnp.asarray(plan["small_faces"])
+        lf_j = (jnp.asarray(plan["large_faces"])
+                if plan["large_faces"].shape[0] else None)
+        chunk = max(1, min(chunk, 256 // plan["max_chunks"]))
     with writer:
         for s0 in range(0, n_frames, chunk):
             block = varr[s0:s0 + chunk]
@@ -152,11 +169,17 @@ def orbit_video(
                 block = jnp.concatenate(
                     [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
                     axis=0)
-            imgs = video_lib.render_frames(
-                block, jnp.asarray(avatar.faces, jnp.int32),
-                jnp.asarray(colors, jnp.float32),
-                jnp.asarray(np.asarray(cam_t), jnp.float32), bg,
-                height=size, width=size, focal=focal)
+            if tiled:
+                imgs = video_lib.render_frames_tiled(
+                    block, sf_j, lf_j, faces_j, colors_j, cam, bg,
+                    height=size, width=size, focal=focal,
+                    max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+                    span_y=plan["span_y"],
+                    large_window=plan["large_window"])
+            else:
+                imgs = video_lib.render_frames(
+                    block, faces_j, colors_j, cam, bg,
+                    height=size, width=size, focal=focal)
             arr = np.asarray(imgs)
             for i in range(n):
                 writer.write(arr[i])
