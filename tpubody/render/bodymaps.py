@@ -60,6 +60,33 @@ def _render_channels(screen, faces, attrs, height, width, window,
     return img, out.mask
 
 
+def _render_channels_tiled(screen, faces, attrs, height, width,
+                           background: float = 1.0):
+    """Fused tiled-Pallas rasterization of a channel stack (background-
+    composited), planned host-side from the projected extents."""
+    from tpubody.render import pallas_raster as PR
+
+    s = np.asarray(screen)[:, :2]
+    tri = s[np.asarray(faces)]
+    ext = (tri.max(axis=1) - tri.min(axis=1)).max(axis=1)
+    ext = ext[np.isfinite(ext)]
+    bound = float(ext.max()) * 1.05 + 1.0 if ext.size else 8.0
+    sx, sy = PR.max_span_for(bound)
+    # Rest-pose per-tile occupancy -> chunk capacity (cheap bincount).
+    TX, TY = width // PR.TILE_W, height // PR.TILE_H
+    cx = np.clip((tri[:, :, 0].mean(1) // PR.TILE_W).astype(int), 0, TX - 1)
+    cy = np.clip((tri[:, :, 1].mean(1) // PR.TILE_H).astype(int), 0, TY - 1)
+    occ = np.bincount(cy * TX + cx, minlength=TX * TY)
+    peak = int(occ.max()) * sx * sy
+    nc = int(np.clip(-(-peak * 1.5 // PR.CF_FUSED), 1, 64))
+    attr, mask, _, _ = PR.render_attrs_tiled(
+        screen[None], faces, attrs, height, width,
+        max_chunks=nc, span_x=sx, span_y=sy)
+    img = jnp.where(mask[0][..., None], attr[0], jnp.asarray(
+        background, attr.dtype))
+    return img, mask[0]
+
+
 def render_body_maps(
     verts: np.ndarray,            # (V, 3) posed SMPLH vertices
     faces: np.ndarray,            # (F, 3)
@@ -108,12 +135,25 @@ def render_body_maps(
     n_front = raster_lib.vertex_normals(v, front_faces)
     n_back = raster_lib.vertex_normals(v, back_faces)
 
-    front_img, front_mask = _render_channels(
-        screen, front_faces, (n_front + 1.0) * 0.5, height, width, window, 1.0)
-    back_img, _ = _render_channels(
-        screen, back_faces, (n_back + 1.0) * 0.5, height, width, window, 1.0)
-    weight_img, _ = _render_channels(
-        screen, f, w, height, width, window, 1.0)
+    # Tileable sizes render through the fused Pallas rasterizer (no
+    # faces x window^2 fragments, no per-pixel shading gathers, much
+    # smaller XLA programs); others keep the fragment path.
+    if height % 8 == 0 and width % 128 == 0:
+        front_img, front_mask = _render_channels_tiled(
+            screen, front_faces, (n_front + 1.0) * 0.5, height, width)
+        back_img, _ = _render_channels_tiled(
+            screen, back_faces, (n_back + 1.0) * 0.5, height, width)
+        weight_img, _ = _render_channels_tiled(
+            screen, f, w, height, width)
+    else:
+        front_img, front_mask = _render_channels(
+            screen, front_faces, (n_front + 1.0) * 0.5, height, width,
+            window, 1.0)
+        back_img, _ = _render_channels(
+            screen, back_faces, (n_back + 1.0) * 0.5, height, width,
+            window, 1.0)
+        weight_img, _ = _render_channels(
+            screen, f, w, height, width, window, 1.0)
 
     value = jnp.concatenate([front_img, back_img, weight_img], axis=-1)
     return BodyMaps(front_normal=front_img, back_normal=back_img,

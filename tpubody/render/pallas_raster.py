@@ -375,7 +375,7 @@ def max_span_for(extent: float) -> Tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 CF_FUSED = 32      # faces per chunk: most covered tiles hold <32 faces
-MAX_ATTR = 8       # attr channels per fused call (padded to 8 sublanes)
+MAX_ATTR = 32      # attr-channel cap per fused call (VMEM-bounded)
 
 
 def _fused_rows(verts, faces, attrs, height, width):
@@ -582,12 +582,13 @@ def _fused_kernel(nchunks_ref, table_ref, key_ref, attr_ref, *,
             Ac = E[(5 + c) * CF:(6 + c) * CF]            # (CF, LP)
             parts.append(jnp.sum(jnp.where(sel, Ac, 0.0), axis=0,
                                  keepdims=True))
-        for _ in range(MAX_ATTR - n_attr):
+        for _ in range(c_pad - n_attr):
             parts.append(jnp.zeros((1, LP), jnp.float32))
         return acc + jnp.concatenate(parts, axis=0)
 
+    c_pad = -(-n_attr // 8) * 8
     attr = jax.lax.fori_loop(
-        0, n, sweep2, jnp.zeros((MAX_ATTR, LP), jnp.float32))
+        0, n, sweep2, jnp.zeros((c_pad, LP), jnp.float32))
 
     key_ref[0, 0] = win
     attr_ref[0, 0] = attr
@@ -623,6 +624,7 @@ def render_attrs_tiled(
     C = int(attrs.shape[-1])
     if C > MAX_ATTR:
         raise ValueError(f"at most {MAX_ATTR} attribute channels per call")
+    c_pad = -(-C // 8) * 8
     F = int(faces.shape[0])
     TX, TY = width // TILE_W, height // TILE_H
     T = TX * TY
@@ -648,7 +650,7 @@ def render_attrs_tiled(
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 1, LP), lambda b, t, n_ref: (b, t, 0, 0)),
-            pl.BlockSpec((1, 1, MAX_ATTR, LP),
+            pl.BlockSpec((1, 1, c_pad, LP),
                          lambda b, t, n_ref: (b, t, 0, 0)),
         ],
     )
@@ -657,7 +659,7 @@ def render_attrs_tiled(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, T, 1, LP), jnp.int32),
-            jax.ShapeDtypeStruct((B, T, MAX_ATTR, LP), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, c_pad, LP), jnp.float32),
         ],
         interpret=interpret,
     )(nchunks.reshape(B, T), tab)
