@@ -18,3 +18,22 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+import pytest  # noqa: E402
+
+_TESTS_SINCE_CLEAR = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    """Clear jax's compiled-executable caches every N tests.
+
+    A full-suite run accumulates hundreds of compiled CPU executables in
+    one process; late-in-suite XLA:CPU compilations have been observed to
+    segfault once that state grows (the same test passes standalone and in
+    any smaller grouping).  Bounding the cache keeps the suite robust at
+    the cost of a few recompiles."""
+    yield
+    _TESTS_SINCE_CLEAR["n"] += 1
+    if _TESTS_SINCE_CLEAR["n"] % 40 == 0:
+        jax.clear_caches()
