@@ -60,6 +60,12 @@ def _cmd_animate(args) -> int:
     if args.clip.endswith(".npz"):
         clip = motion_lib.read_amass(args.clip)
         stride = args.stride
+    elif args.clip.endswith(".amc"):
+        if not args.asf:
+            raise SystemExit("--asf <skeleton.asf> is required for .amc clips")
+        from tpubody.io import asf as asf_lib
+        clip = asf_lib.read_amc(args.asf, args.clip)
+        stride = args.stride
     else:
         clip = motion_lib.read_mixamo(args.clip)
         stride = 1
@@ -89,7 +95,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("animate", help="render avatar + motion clip to MP4")
     p.add_argument("avatar", help="rigged avatar pickle (or_recover.pkl)")
-    p.add_argument("clip", help="AMASS .npz or Mixamo result.pkl")
+    p.add_argument("clip", help="AMASS .npz, Mixamo result.pkl, or CMU .amc")
+    p.add_argument("--asf", default=None,
+                   help="ASF skeleton file (required for .amc clips)")
     p.add_argument("out", help="output .mp4")
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--fps", type=float, default=None)

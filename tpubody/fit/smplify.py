@@ -60,6 +60,11 @@ class FitConfig:
                                                   4.78, 4.78)
     hand_joints_weights: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.1, 2.0)
     bending_prior_scale: float = 3.17   # fit_single_frame.py:382-383
+    # Self-collision term (fit_smplh.yaml:36,59-64 — off by default there
+    # too); see tpubody.fit.collision for the TPU-native sphere-proxy design.
+    interpenetration: bool = False
+    coll_loss_weights: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.01, 1.0)
+    coll_n_samples: int = 1024
 
 
 class FitOutput(NamedTuple):
@@ -215,8 +220,15 @@ def fit_frame(
         orients.append(np.asarray(
             rotmat_to_axis_angle(jnp.asarray(R0 @ Rflip))))
 
+    coll_proxy = None
+    if config.interpenetration:
+        from tpubody.fit import collision as coll_lib
+        coll_proxy = coll_lib.build_collision_proxy(
+            np.asarray(model.v_template), np.asarray(model.weights),
+            np.asarray(model.parents), n_samples=config.coll_n_samples)
+
     def body_loss(p, w):
-        proj, body_R, _ = _forward_joints(
+        proj, body_R, state = _forward_joints(
             model, decoder, dec_params, p, config.use_vposer, focal,
             center, vertex_ids, hand_bases)
         # Smooth axis-angle proxy from the rotation skew part
@@ -241,7 +253,12 @@ def fit_frame(
         bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
         hands = (priors_lib.l2_prior(p["lhand"])
                  + priors_lib.l2_prior(p["rhand"])) * w["hand_prior"] ** 2
-        return joint_loss + pprior + shape_loss + bend + hands
+        total = joint_loss + pprior + shape_loss + bend + hands
+        if coll_proxy is not None:
+            from tpubody.fit import collision as coll_lib
+            total = total + w["coll"] * coll_lib.penetration_loss(
+                state.verts, coll_proxy)
+        return total
 
     n_stages = len(config.body_pose_prior_weights)
     best = None
@@ -269,6 +286,9 @@ def fit_frame(
                 "hand_joints": jnp.asarray(
                     config.hand_joints_weights[s]
                     if config.use_hands else 0.0, jnp.float32),
+                "coll": jnp.asarray(
+                    config.coll_loss_weights[s]
+                    if config.interpenetration else 0.0, jnp.float32),
             }
             res = lbfgs_lib.minimize(
                 functools.partial(body_loss, w=w), p,
