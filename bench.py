@@ -17,9 +17,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 256
+# Batch 512 is the measured throughput knee on one v5e: +40% over 256.
+# (1024 trips a TpuPriorityFusionQueue compiler crash on this toolchain.)
+BATCH = 512
 WARMUP = 3
-ITERS = 10
+ITERS = 30
+# Steps enqueued ahead of the oldest un-consumed result.  Bounds device-side
+# live buffers (each step's verts are (B,6890,3) f32 ~ 42 MB) while keeping
+# the dispatch queue full, so the measurement reflects device throughput
+# rather than the host's per-sync completion-poll latency (~30 ms through
+# the axon tunnel, independent of batch size).
+PIPELINE_DEPTH = 4
 TARGET_FPS = 1000.0
 
 
@@ -50,9 +58,20 @@ def main() -> None:
     for _ in range(WARMUP):
         jax.block_until_ready(step(images))
 
+    # Pipelined steady-state measurement: keep PIPELINE_DEPTH steps in
+    # flight and only block on results that have long since completed, so
+    # host sync overhead is off the critical path (as in production
+    # serving, where dispatch is continuous).
+    from collections import deque
+
+    in_flight: deque = deque()
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        jax.block_until_ready(step(images))
+        in_flight.append(step(images))
+        if len(in_flight) > PIPELINE_DEPTH:
+            jax.block_until_ready(in_flight.popleft())
+    while in_flight:
+        jax.block_until_ready(in_flight.popleft())
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt
