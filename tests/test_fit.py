@@ -267,3 +267,31 @@ class TestOrientationFlip:
         out = smplify.fit_frame(model, kps, np.array([100.0, 100.0]), cfg)
         assert np.isfinite(out.loss)
         assert np.isfinite(out.pose).all()
+
+
+class TestOptimizerFactory:
+    """create_optimizer parity (optim_factory.py:27-65): same names, all
+    jit-compatible, all minimize a convex quadratic."""
+
+    @pytest.mark.parametrize(
+        "name", ["adam", "lbfgs", "lbfgsls", "rmsprop", "sgd"])
+    def test_minimizes_quadratic(self, name):
+        from tpubody.fit import optim as optim_lib
+
+        target = jnp.asarray([1.0, -2.0, 3.0])
+
+        def fun(x):
+            return jnp.sum((x - target) ** 2)
+
+        lr = 0.2 if name in ("adam", "rmsprop", "sgd") else 1.0
+        opt = optim_lib.create_optimizer(name, lr=lr, maxiters=100)
+        res = opt.minimize(fun, jnp.zeros(3))
+        assert float(res.loss) < float(fun(jnp.zeros(3)))
+        if name in ("lbfgs", "lbfgsls"):
+            np.testing.assert_allclose(np.asarray(res.params), target,
+                                       atol=1e-4)
+
+    def test_unknown_name_raises(self):
+        from tpubody.fit import optim as optim_lib
+        with pytest.raises(ValueError):
+            optim_lib.create_optimizer("adagrad")

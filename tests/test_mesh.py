@@ -223,6 +223,26 @@ class TestMeshIO:
         np.testing.assert_allclose(v, verts, atol=1e-6)
         np.testing.assert_array_equal(f, faces)
 
+    def test_off_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        verts = rng.normal(size=(12, 3))
+        faces = rng.integers(0, 12, size=(7, 3))
+        p = str(tmp_path / "m.off")
+        meshio.write_off(p, verts, faces)
+        v, f = meshio.read_off(p)
+        np.testing.assert_allclose(v, verts, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(f, faces)
+
+    def test_off_reads_reference_style_header(self, tmp_path):
+        # The reference writer (obj_functions.py:298-307) emits a comment
+        # and a blank line between "OFF" and the counts.
+        p = tmp_path / "ref.off"
+        p.write_text("OFF\n# convert by tsukasa\n\n"
+                     "3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+        v, f = meshio.read_off(str(p))
+        assert v.shape == (3, 3) and f.shape == (1, 3)
+        np.testing.assert_array_equal(f[0], [0, 1, 2])
+
 
 class TestStitchFuzz:
     @pytest.mark.parametrize("seed", [0, 1, 2, 3])

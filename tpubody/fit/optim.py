@@ -1,0 +1,87 @@
+"""Optimizer factory for the fitting subsystem.
+
+Parity with the reference's ``create_optimizer``
+(lib/Gen_SMPLH/optimizers/optim_factory.py:27-65), which dispatches on a
+config string to adam / lbfgs / lbfgsls / rmsprop / sgd.  Here the
+first-order optimizers are optax gradient transformations (jit-friendly,
+composable with the staged fitting loop), and both L-BFGS variants map to
+the strong-Wolfe minimizer in :mod:`tpubody.fit.lbfgs` — one compiled
+``lax.while_loop``, not a Python step loop.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import optax
+
+from tpubody.fit import lbfgs as lbfgs_lib
+
+
+class Optimizer(NamedTuple):
+    """Either a first-order optax transform or a full minimizer.
+
+    ``minimize(fun, x0)`` is always available; for first-order optimizers it
+    runs ``maxiters`` fixed steps of the optax update rule under jit.
+    """
+
+    name: str
+    tx: Any  # optax.GradientTransformation or None for L-BFGS
+    minimize: Callable[..., Any]
+
+
+def _first_order_minimizer(tx: optax.GradientTransformation, maxiters: int):
+    import jax
+
+    def run(fun, x0):
+        opt_state = tx.init(x0)
+
+        def step(carry, _):
+            x, s = carry
+            loss, g = jax.value_and_grad(fun)(x)
+            updates, s = tx.update(g, s, x)
+            return (optax.apply_updates(x, updates), s), loss
+
+        (x, _), losses = jax.lax.scan(
+            step, (x0, opt_state), None, length=maxiters)
+        import jax.numpy as jnp
+        return lbfgs_lib.MinimizeResult(
+            params=x, loss=losses[-1], n_iters=jnp.asarray(maxiters),
+            converged=jnp.asarray(True))
+
+    return run
+
+
+def create_optimizer(optim_type: str = "lbfgsls",
+                     lr: float = 1e-3,
+                     momentum: float = 0.9,
+                     use_nesterov: bool = True,
+                     beta1: float = 0.9,
+                     beta2: float = 0.999,
+                     epsilon: float = 1e-8,
+                     weight_decay: float = 0.0,
+                     centered: bool = False,
+                     rmsprop_alpha: float = 0.99,
+                     maxiters: int = 20,
+                     gtol: float = 1e-6,
+                     ftol: float = 1e-9,
+                     **_: Any) -> Optimizer:
+    """Build the optimizer named by ``optim_type`` (same names and knobs as
+    the reference factory; unknown names raise ValueError)."""
+    if optim_type == "adam":
+        tx = optax.adamw(lr, b1=beta1, b2=beta2, eps=epsilon,
+                         weight_decay=weight_decay) if weight_decay else \
+            optax.adam(lr, b1=beta1, b2=beta2, eps=epsilon)
+        return Optimizer("adam", tx, _first_order_minimizer(tx, maxiters))
+    if optim_type in ("lbfgs", "lbfgsls"):
+        def run(fun, x0):
+            return lbfgs_lib.minimize(fun, x0, maxiter=maxiters,
+                                      gtol=gtol, ftol=ftol)
+        return Optimizer(optim_type, None, run)
+    if optim_type == "rmsprop":
+        tx = optax.rmsprop(lr, decay=rmsprop_alpha, eps=epsilon,
+                           centered=centered, momentum=momentum)
+        return Optimizer("rmsprop", tx, _first_order_minimizer(tx, maxiters))
+    if optim_type == "sgd":
+        tx = optax.sgd(lr, momentum=momentum, nesterov=use_nesterov)
+        return Optimizer("sgd", tx, _first_order_minimizer(tx, maxiters))
+    raise ValueError(f"Optimizer {optim_type} not supported!")

@@ -126,3 +126,41 @@ def read_obj(path: str):
                 faces.append([int(t.split("/")[0]) - 1
                               for t in line.split()[1:4]])
     return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
+def write_off(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """ASCII OFF export (reference lib/reconstruct/obj_functions.py:298-307)."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    with open(path, "w") as fp:
+        fp.write("OFF\n")
+        fp.write(f"{verts.shape[0]} {faces.shape[0]} 0\n")
+        fp.write("".join(f"{v[0]:g} {v[1]:g} {v[2]:g}\n" for v in verts))
+        fp.write("".join(f"3 {f[0]} {f[1]} {f[2]}\n" for f in faces))
+
+
+def read_off(path: str):
+    """ASCII OFF import; tolerates comments, blank lines, and counts on the
+    header line ("OFF nv nf ne")."""
+    with open(path) as fp:
+        tokens = []
+        for line in fp:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                tokens.extend(line.split())
+    if not tokens or not tokens[0].upper().endswith("OFF"):
+        raise ValueError(f"not an OFF file: {path}")
+    tokens = tokens[1:]
+    n_verts, n_faces = int(tokens[0]), int(tokens[1])
+    pos = 3  # skip edge count
+    verts = np.array(tokens[pos:pos + 3 * n_verts],
+                     np.float64).reshape(n_verts, 3)
+    pos += 3 * n_verts
+    faces = np.empty((n_faces, 3), np.int64)
+    for i in range(n_faces):
+        cnt = int(tokens[pos])
+        if cnt != 3:
+            raise ValueError("only triangular OFF faces supported")
+        faces[i] = [int(t) for t in tokens[pos + 1:pos + 4]]
+        pos += 1 + cnt
+    return verts, faces
