@@ -111,3 +111,33 @@ def test_torch_state_dict_conversion():
     # And the converted weights actually run.
     out = model.apply(converted, jnp.zeros((1, 224, 224, 3)))
     assert np.isfinite(np.asarray(out.shape)).all()
+
+
+class TestStem:
+    """The s2d (space-to-depth) stem is numerically the conv7 stem."""
+
+    def test_stems_agree(self):
+        from tpubody.models.hmr import ResNet50
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+        m7 = ResNet50(dtype=jnp.float32, stem="conv7")
+        ms = ResNet50(dtype=jnp.float32, stem="s2d")
+        vs = m7.init(jax.random.PRNGKey(0), x)
+        y7 = m7.apply(vs, x)
+        ys = ms.apply(vs, x)          # same variables: same param path
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(y7),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_odd_input_falls_back(self):
+        from tpubody.models.hmr import ResNet50
+        x = jnp.zeros((1, 63, 63, 3), jnp.float32)
+        m = ResNet50(dtype=jnp.float32, stem="s2d")
+        vs = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(vs, x).shape == (1, 2048)
+
+    def test_param_path_matches_torch_conversion(self):
+        """conv1/kernel path is unchanged, so torch checkpoints load into
+        either stem (models/hmr.py:49-111 naming)."""
+        model, variables = hmr_lib.create_hmr(dtype=jnp.float32, stem="s2d")
+        assert variables["params"]["backbone"]["conv1"]["kernel"].shape == \
+            (7, 7, 3, 64)
