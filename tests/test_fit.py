@@ -295,3 +295,29 @@ class TestOptimizerFactory:
         from tpubody.fit import optim as optim_lib
         with pytest.raises(ValueError):
             optim_lib.create_optimizer("adagrad")
+
+
+class TestSmplifyOptimType:
+    def test_fit_frame_with_adam(self):
+        """optim_type from config drives the stage optimizer
+        (smpl_config.py:247, optim_factory.py parity)."""
+        from tpubody.fit import smplify
+        from tpubody.models import params as params_lib
+        model = params_lib.synthetic(n_joints=52, n_verts=300, seed=4)
+        rng = np.random.default_rng(5)
+        kps = np.concatenate(
+            [rng.uniform(50, 150, (67, 2)), np.ones((67, 1))], axis=1)
+        cfg = smplify.FitConfig(focal_length=500.0, maxiters=3,
+                                optim_type="adam", lr=0.05)
+        out = smplify.fit_frame(model, kps, np.array([100.0, 100.0]), cfg)
+        assert np.isfinite(out.loss)
+        assert np.isfinite(out.pose).all()
+
+    def test_fixture_conf_yaml_selects_lbfgsls(self):
+        import os
+        fixture = "/root/reference/data/tests/test01/conf.yaml"
+        if not os.path.exists(fixture):
+            pytest.skip("fixtures unavailable")
+        from tpubody.pipelines import gen_smplh as gen_lib
+        cfg = gen_lib.load_config(fixture)
+        assert cfg.optim_type == "lbfgsls"

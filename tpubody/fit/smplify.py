@@ -27,7 +27,6 @@ import numpy as np
 
 from tpubody.fit import joints as joints_lib
 from tpubody.fit import keypoints as kp_lib
-from tpubody.fit import lbfgs as lbfgs_lib
 from tpubody.fit import priors as priors_lib
 from tpubody.fit import vposer as vposer_lib
 from tpubody.models import params as params_lib
@@ -40,6 +39,8 @@ class FitConfig:
 
     focal_length: float = 5000.0
     rho: float = 100.0
+    optim_type: str = "lbfgsls"   # adam|lbfgs|lbfgsls|rmsprop|sgd
+    lr: float = 1.0               # first-order optimizers only
     maxiters: int = 30
     ftol: float = 1e-9
     gtol: float = 1e-9
@@ -205,9 +206,16 @@ def fit_frame(
         depth = config.depth_loss_weight ** 2 * (p["cam_t"][2] - est_d) ** 2
         return err + depth
 
-    cam_res = lbfgs_lib.minimize(
-        camera_loss, {"cam_t": init_t, "global_orient": zeros_p["global_orient"]},
-        maxiter=config.maxiters, ftol=config.ftol, gtol=config.gtol)
+    # Optimizer per config (optim_type flows in from conf.yaml like the
+    # reference's smpl_config.py:247 / optim_factory.py:27-65).
+    from tpubody.fit import optim as optim_lib
+    opt = optim_lib.create_optimizer(
+        config.optim_type, lr=config.lr, maxiters=config.maxiters,
+        ftol=config.ftol, gtol=config.gtol)
+
+    cam_res = opt.minimize(
+        camera_loss,
+        {"cam_t": init_t, "global_orient": zeros_p["global_orient"]})
     cam_t0 = cam_res.params["cam_t"]
     orient0 = cam_res.params["global_orient"]
 
@@ -290,9 +298,7 @@ def fit_frame(
                     config.coll_loss_weights[s]
                     if config.interpenetration else 0.0, jnp.float32),
             }
-            res = lbfgs_lib.minimize(
-                functools.partial(body_loss, w=w), p,
-                maxiter=config.maxiters, ftol=config.ftol, gtol=config.gtol)
+            res = opt.minimize(functools.partial(body_loss, w=w), p)
             p = res.params
             loss_val = float(res.loss)
         if best is None or loss_val < best[0]:
