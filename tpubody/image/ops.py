@@ -46,11 +46,17 @@ def resize_image(img: jnp.ndarray, height: int, width: int,
 
 
 def scale_and_crop(img: np.ndarray, center: Sequence[float],
-                   scale: float, size: int = 224) -> np.ndarray:
+                   scale: float, size: int = 224,
+                   host: bool = True) -> np.ndarray:
     """Crop a square window of side ``scale*200`` around ``center`` (the
     HMR convention, utils/image.py:20-59) with edge padding, then resize to
-    ``size`` x ``size``.  Host-side numpy for the data-dependent crop,
-    device resize."""
+    ``size`` x ``size``.
+
+    ``host=True`` (default) resizes with cv2 on the host — per-example
+    preprocessing must NOT bounce through the accelerator: every distinct
+    crop shape would trigger a fresh XLA compile, and each call pays a
+    device round-trip.  ``host=False`` uses jax.image.resize for callers
+    already operating on device-resident, fixed-shape data."""
     img = np.asarray(img)
     H, W = img.shape[:2]
     half = scale * 200.0 / 2.0
@@ -64,6 +70,10 @@ def scale_and_crop(img: np.ndarray, center: Sequence[float],
     if any((pad_x0, pad_x1, pad_y0, pad_y1)):
         crop = np.pad(crop, ((pad_y0, pad_y1), (pad_x0, pad_x1), (0, 0)),
                       mode="edge")
+    if host:
+        import cv2
+        return cv2.resize(np.asarray(crop, np.float32), (size, size),
+                          interpolation=cv2.INTER_LINEAR)
     out = resize_image(jnp.asarray(crop, jnp.float32), size, size)
     return np.asarray(out)
 
