@@ -115,6 +115,26 @@ class TestAnimatePipeline:
             cam_t=np.array([0.0, 0.0, 3.0]), chunk=2)
         assert os.path.exists(out)
 
+    def test_animate_mixamo_batch(self, tmp_path):
+        """Batch driver over a data/mixamo-style clip tree
+        (model2video_miaxmo.py batch loop parity)."""
+        av = _sphere_avatar()
+        avp = str(tmp_path / "avatar.pkl")
+        rigging.save_avatar(avp, av)
+        root = tmp_path / "mixamo"
+        for name in ("0007", "0020"):
+            d = root / name
+            d.mkdir(parents=True)
+            motion_lib.save_mixamo(
+                str(d / "result.pkl"), np.zeros((3, 24, 3)), fps=30.0)
+        (root / "notaclip").mkdir()          # ignored: no result.pkl
+        outs = animate_lib.animate_mixamo_batch(
+            avp, str(root), str(tmp_path), size=64, focal=150.0,
+            cam_t=np.array([0.0, 0.0, 3.0]), chunk=2)
+        assert [os.path.basename(o) for o in outs] == \
+            ["or_0007.mp4", "or_0020.mp4"]
+        assert all(os.path.exists(o) for o in outs)
+
 
 @pytest.mark.slow
 def test_orbit_video(tmp_path):

@@ -76,6 +76,17 @@ def _cmd_animate(args) -> int:
     return 0
 
 
+def _cmd_animate_batch(args) -> int:
+    from tpubody.pipelines import animate
+
+    outs = animate.animate_mixamo_batch(
+        args.avatar, args.mixamo_root, args.out_dir, prefix=args.prefix,
+        size=args.size, cam_t=np.asarray([0.0, 0.0, args.cam_z]))
+    for o in outs:
+        print(f"wrote {o}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="tpubody")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -106,6 +117,18 @@ def main(argv=None) -> int:
     p.add_argument("--decimate", type=int, default=0,
                    help="cluster-decimate the avatar to ~N vertices first")
     p.set_defaults(fn=_cmd_animate)
+
+    p = sub.add_parser(
+        "animate-batch",
+        help="render every Mixamo clip under a directory tree to MP4s")
+    p.add_argument("avatar", help="rigged avatar pickle (or_recover.pkl)")
+    p.add_argument("mixamo_root",
+                   help="directory of clip subdirs holding result.pkl")
+    p.add_argument("out_dir", help="output directory for <prefix><clip>.mp4")
+    p.add_argument("--prefix", default="or_")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--cam-z", type=float, default=2.5)
+    p.set_defaults(fn=_cmd_animate_batch)
 
     args = parser.parse_args(argv)
     return args.fn(args)

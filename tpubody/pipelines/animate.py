@@ -201,3 +201,24 @@ def animate_from_mixamo(avatar_path: str, mixamo_path: str, out_path: str,
     avatar = rigging.load_avatar(avatar_path)
     clip = motion_lib.read_mixamo(mixamo_path)
     return animate_video(avatar, clip, out_path, stride=1, **kw)
+
+
+def animate_mixamo_batch(avatar_path: str, mixamo_root: str, out_dir: str,
+                         prefix: str = "or_", **kw) -> list:
+    """Render every Mixamo clip under ``mixamo_root`` (one subdirectory per
+    clip holding ``result.pkl``, like data/mixamo/0007..0145) to
+    ``<out_dir>/<prefix><clip>.mp4`` — the reference's batch __main__ loop
+    (lib/model2video_miaxmo.py:553-576, 601-611).  The avatar loads once;
+    each clip reuses the compiled skinning/render programs (shapes permit)."""
+    import os
+
+    avatar = rigging.load_avatar(avatar_path)
+    outs = []
+    for name in sorted(os.listdir(mixamo_root)):
+        pkl = os.path.join(mixamo_root, name, "result.pkl")
+        if not os.path.isfile(pkl):
+            continue
+        clip = motion_lib.read_mixamo(pkl)
+        out_path = os.path.join(out_dir, f"{prefix}{name}.mp4")
+        outs.append(animate_video(avatar, clip, out_path, stride=1, **kw))
+    return outs
