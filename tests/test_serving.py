@@ -1,0 +1,94 @@
+"""Dynamic-batching inference server: correctness, bucketing, concurrency."""
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpubody.pipelines import serving
+
+
+SHAPE = (8, 8, 3)
+
+
+def double_step(images):
+    return images * 2.0, jnp.sum(images, axis=(1, 2, 3))
+
+
+@pytest.fixture()
+def server():
+    s = serving.InferenceServer(
+        double_step, image_shape=SHAPE, buckets=(1, 2, 4),
+        max_delay_ms=10.0)
+    with s:
+        yield s
+
+
+class TestServer:
+    def test_single_request_roundtrip(self, server):
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=SHAPE).astype(np.float32)
+        doubled, total = server(img)
+        np.testing.assert_allclose(doubled, img * 2.0, rtol=1e-6)
+        np.testing.assert_allclose(total, img.sum(), rtol=1e-4)
+
+    def test_concurrent_requests_map_to_own_results(self, server):
+        rng = np.random.default_rng(1)
+        imgs = [rng.normal(size=SHAPE).astype(np.float32) for _ in range(9)]
+        futures = [server.submit(im) for im in imgs]
+        for im, f in zip(imgs, futures):
+            doubled, _ = f.result(timeout=30)
+            np.testing.assert_allclose(doubled, im * 2.0, rtol=1e-6)
+        snap = server.stats.snapshot()
+        assert snap["requests"] == 9
+        assert snap["batches"] >= 3      # bucket cap is 4
+        assert snap["latency_p50_ms"] > 0
+
+    def test_coalescing_under_parallel_load(self, server):
+        """Many threads submitting at once should produce fewer batches
+        than requests (micro-batching engaged)."""
+        rng = np.random.default_rng(2)
+        imgs = [rng.normal(size=SHAPE).astype(np.float32)
+                for _ in range(16)]
+        results = [None] * 16
+
+        def send(i):
+            results[i] = server(imgs[i])
+
+        threads = [threading.Thread(target=send, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(16):
+            np.testing.assert_allclose(results[i][0], imgs[i] * 2.0,
+                                       rtol=1e-6)
+        snap = server.stats.snapshot()
+        assert snap["batches"] < snap["requests"]
+
+    def test_shape_validation(self, server):
+        with pytest.raises(ValueError):
+            server.submit(np.zeros((4, 4, 3), np.float32))
+
+    def test_step_error_propagates(self):
+        def bad_step(images):
+            return jnp.linalg.cholesky(
+                jnp.zeros((2, 2)) * images[0, 0, 0, 0]), images
+
+        s = serving.InferenceServer(
+            lambda x: (_ for _ in ()).throw(RuntimeError("kernel boom")),
+            image_shape=SHAPE, buckets=(1,), warmup=False)
+        with s:
+            f = s.submit(np.zeros(SHAPE, np.float32))
+            with pytest.raises(RuntimeError, match="kernel boom"):
+                f.result(timeout=30)
+
+
+def test_hmr_smpl_step_builds_and_runs():
+    step = serving.hmr_smpl_step(dtype=jnp.float32, n_verts=64)
+    out = jax.jit(step)(jnp.zeros((2, 224, 224, 3), jnp.float32))
+    verts, cam = out
+    assert verts.shape == (2, 64, 3)
+    assert cam.shape == (2, 3)

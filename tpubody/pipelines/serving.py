@@ -1,0 +1,222 @@
+"""Online inference serving: dynamic micro-batching onto jitted XLA steps.
+
+The reference is offline scripts; a production deployment needs an online
+path, and on TPU its design follows from the compilation model:
+
+  * XLA programs are shape-specialized, so arbitrary request counts must be
+    padded to a SMALL, FIXED set of batch sizes (power-of-two buckets) —
+    one compile per bucket, ever, instead of one per observed batch size.
+  * The chip prefers large batches; single requests should coalesce.  The
+    batcher gathers queued requests up to the largest bucket or until the
+    oldest request has waited ``max_delay_ms`` — the standard
+    latency/throughput knob.
+  * Hosts submit, a single dispatch thread owns the device: no lock
+    contention on the hot path, natural request ordering, and the next
+    batch's host work overlaps the previous batch's device work.
+
+Use :class:`InferenceServer` with any jittable ``step(images) -> pytree``;
+:func:`hmr_smpl_step` builds the flagship images -> (verts, cam) step.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def hmr_smpl_step(dtype=jnp.bfloat16, n_joints: int = 24,
+                  n_verts: int = 6890, stem: str = "conv7"
+                  ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """The flagship serving step: images -> (posed verts, weak-persp cam)."""
+    from tpubody.models import hmr as hmr_lib
+    from tpubody.models import params as params_lib
+    from tpubody.models import smpl as smpl_lib
+
+    model, variables = hmr_lib.create_hmr(dtype=dtype, stem=stem)
+    body = params_lib.synthetic(n_joints=n_joints, n_verts=n_verts, seed=0)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def step(images):
+        out = model.apply(variables, images)
+        verts = smpl_lib.forward_batch_verts(
+            body, out.rotmats, out.shape, None,
+            use_pallas=use_pallas, pose_is_rotmat=True)
+        return verts, out.cam
+
+    return step
+
+
+class ServerStats:
+    """Thread-safe rolling serving statistics."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.batches = 0
+        self.padded = 0          # wasted rows from bucket padding
+        self._latencies: List[float] = []
+        self._t0 = time.perf_counter()
+
+    def record(self, n_real: int, n_padded: int, latencies: Sequence[float]):
+        with self._lock:
+            self.requests += n_real
+            self.batches += 1
+            self.padded += n_padded
+            self._latencies.extend(latencies)
+            if len(self._latencies) > 10000:
+                self._latencies = self._latencies[-5000:]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            dt = time.perf_counter() - self._t0
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "padded_rows": self.padded,
+                "throughput_rps": self.requests / dt if dt > 0 else 0.0,
+                "latency_p50_ms": 1e3 * lat[len(lat) // 2] if lat else 0.0,
+                "latency_p99_ms":
+                    1e3 * lat[int(len(lat) * 0.99)] if lat else 0.0,
+            }
+
+
+class _Request:
+    __slots__ = ("image", "future", "t_submit")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+
+
+class InferenceServer:
+    """Dynamic-batching server around one jitted step.
+
+    Parameters
+    ----------
+    step: images (B, H, W, C) -> pytree with leading batch dim.
+    buckets: allowed batch sizes, ascending (requests pad up to the
+        smallest bucket that fits; at most ``len(buckets)`` compiles).
+    max_delay_ms: maximum time the OLDEST queued request waits for
+        coalescing before a smaller batch is dispatched.
+    image_shape: per-request input shape (H, W, C).
+    """
+
+    def __init__(
+        self,
+        step: Callable,
+        image_shape: Tuple[int, int, int] = (224, 224, 3),
+        buckets: Sequence[int] = (1, 4, 16, 64, 256),
+        max_delay_ms: float = 5.0,
+        warmup: bool = True,
+    ):
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets:
+            raise ValueError("need at least one bucket size")
+        self.image_shape = tuple(image_shape)
+        self.max_delay = max_delay_ms / 1e3
+        self._step = jax.jit(step)
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = ServerStats()
+        self._thread: Optional[threading.Thread] = None
+        if warmup:
+            self.warmup()
+
+    # -- lifecycle -------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile every bucket up front so no request pays a compile."""
+        for b in self.buckets:
+            x = jnp.zeros((b,) + self.image_shape, jnp.float32)
+            jax.block_until_ready(self._step(x))
+
+    def start(self) -> "InferenceServer":
+        if self._thread is None:
+            self.stats._t0 = time.perf_counter()  # exclude warmup compiles
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client API ------------------------------------------------------
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one image; the Future resolves to this request's slice
+        of the step output pytree (leading batch dim stripped)."""
+        img = np.asarray(image, np.float32)
+        if img.shape != self.image_shape:
+            raise ValueError(
+                f"expected {self.image_shape}, got {img.shape}")
+        req = _Request(img)
+        self._q.put(req)
+        return req.future
+
+    def __call__(self, image: np.ndarray):
+        """Synchronous convenience wrapper."""
+        return self.submit(image).result()
+
+    # -- dispatch loop ---------------------------------------------------
+    def _gather(self) -> List[_Request]:
+        """Collect requests: block for the first, then coalesce until the
+        largest bucket is full or the oldest exceeds its delay budget."""
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = first.t_submit + self.max_delay
+        max_b = self.buckets[-1]
+        while len(batch) < max_b:
+            remain = deadline - time.perf_counter()
+            if remain <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remain))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._gather()
+            if not batch:
+                continue
+            n = len(batch)
+            bucket = next((b for b in self.buckets if b >= n),
+                          self.buckets[-1])
+            # More requests than the largest bucket never happens:
+            # _gather stops at buckets[-1].
+            images = np.zeros((bucket,) + self.image_shape, np.float32)
+            for i, r in enumerate(batch):
+                images[i] = r.image
+            try:
+                out = self._step(jnp.asarray(images))
+                out = jax.tree_util.tree_map(np.asarray, out)
+            except BaseException as e:
+                for r in batch:
+                    r.future.set_exception(e)
+                continue
+            t_done = time.perf_counter()
+            for i, r in enumerate(batch):
+                r.future.set_result(
+                    jax.tree_util.tree_map(lambda a, i=i: a[i], out))
+            self.stats.record(n, bucket - n,
+                              [t_done - r.t_submit for r in batch])
