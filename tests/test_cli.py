@@ -60,3 +60,21 @@ def test_gen_smplh_end_to_end(tmp_path):
     from tpubody.pipelines import reconstruct as rec
     fit = rec.load_fit_pickle(str(tmp_path / "out" / "smplh.pkl"))
     assert np.isfinite(fit.pose).all()
+
+
+def test_cli_detect_pose(tmp_path):
+    """detect-pose writes OpenPose-format JSON that the fitting stack
+    reads (lib/openpose.py contract)."""
+    import cv2
+    import numpy as np
+    from tpubody import cli
+    from tpubody.fit import keypoints as kp_lib
+    img = (np.random.default_rng(0).uniform(0, 255, (96, 80, 3))
+           .astype(np.uint8))
+    p_img = str(tmp_path / "person.png")
+    cv2.imwrite(p_img, img)
+    p_out = str(tmp_path / "0_keypoints.json")
+    assert cli.main(["detect-pose", p_img, p_out, "--size", "64"]) == 0
+    kp = kp_lib.read_openpose_json(p_out)
+    assert kp.keypoints.shape == (67, 3)
+    assert np.isfinite(kp.keypoints).all()

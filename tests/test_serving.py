@@ -92,3 +92,31 @@ def test_hmr_smpl_step_builds_and_runs():
     verts, cam = out
     assert verts.shape == (2, 64, 3)
     assert cam.shape == (2, 3)
+
+
+def test_sharded_server_on_mesh():
+    """Batches land pre-sharded on the frames mesh; SPMD step results are
+    exact per request."""
+    from tpubody.dist import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh(4)
+    sharding = mesh_lib.frames_sharding(mesh)
+    s = serving.InferenceServer(
+        double_step, image_shape=SHAPE, buckets=(4, 8),
+        max_delay_ms=20.0, sharding=sharding)
+    rng = np.random.default_rng(3)
+    imgs = [rng.normal(size=SHAPE).astype(np.float32) for _ in range(6)]
+    with s:
+        futs = [s.submit(im) for im in imgs]
+        for im, f in zip(imgs, futs):
+            doubled, _ = f.result(timeout=30)
+            np.testing.assert_allclose(doubled, im * 2.0, rtol=1e-6)
+
+
+def test_sharded_server_rejects_indivisible_buckets():
+    from tpubody.dist import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh(4)
+    sharding = mesh_lib.frames_sharding(mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        serving.InferenceServer(double_step, image_shape=SHAPE,
+                                buckets=(1, 4), sharding=sharding,
+                                warmup=False)

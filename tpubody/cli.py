@@ -76,6 +76,39 @@ def _cmd_animate(args) -> int:
     return 0
 
 
+def _cmd_detect_pose(args) -> int:
+    """Image -> 0_keypoints.json via the in-framework detector (the
+    reference's lib/openpose.py openpose(img, save) contract)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from tpubody.image import ops as img_ops
+    from tpubody.models import pose2d
+
+    img = img_ops.read_image(args.img)
+    H = W = args.size
+    inp = img_ops.scale_and_crop(
+        img, (img.shape[1] / 2.0, img.shape[0] / 2.0),
+        max(img.shape[:2]) / 200.0, H)
+    model, variables = pose2d.create_pose2d(image_size=H)
+    if args.ckpt:
+        from tpubody.utils import checkpoint as ckpt_lib
+        variables = ckpt_lib.restore_pytree(args.ckpt, variables)
+    out = pose2d.detect(model, variables,
+                        jnp.asarray(inp[None] / 255.0, jnp.float32))
+    kp = np.asarray(out.keypoints[0], np.float64)
+    # map from the square crop back to original pixels
+    ratio = max(img.shape[:2]) / float(H)
+    kp[:, 0] = kp[:, 0] * ratio + (img.shape[1] - max(img.shape[:2])) / 2.0
+    kp[:, 1] = kp[:, 1] * ratio + (img.shape[0] - max(img.shape[:2])) / 2.0
+    person = pose2d.keypoints_to_openpose(kp)
+    with open(args.out, "w") as f:
+        json.dump({"version": 1.3, "people": [person]}, f)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def _cmd_animate_batch(args) -> int:
     from tpubody.pipelines import animate
 
@@ -129,6 +162,17 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--cam-z", type=float, default=2.5)
     p.set_defaults(fn=_cmd_animate_batch)
+
+    p = sub.add_parser(
+        "detect-pose",
+        help="detect 2D keypoints -> OpenPose-format JSON (lib/openpose.py)")
+    p.add_argument("img")
+    p.add_argument("out", help="output keypoints .json")
+    p.add_argument("--size", type=int, default=256,
+                   help="square inference resolution")
+    p.add_argument("--ckpt", default=None,
+                   help="trained pose2d checkpoint (orbax)")
+    p.set_defaults(fn=_cmd_detect_pose)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -117,10 +117,22 @@ class InferenceServer:
         buckets: Sequence[int] = (1, 4, 16, 64, 256),
         max_delay_ms: float = 5.0,
         warmup: bool = True,
+        sharding: Optional[Any] = None,
     ):
+        """``sharding``: optional ``jax.sharding.Sharding`` for the batch
+        axis (e.g. ``tpubody.dist.mesh.frames_sharding``) — batches land
+        pre-sharded across the mesh and XLA runs the step SPMD.  Every
+        bucket size must then be divisible by the mesh device count."""
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         if not self.buckets:
             raise ValueError("need at least one bucket size")
+        self.sharding = sharding
+        if sharding is not None:
+            n_dev = len(sharding.device_set)
+            bad = [b for b in self.buckets if b % n_dev]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by mesh size {n_dev}")
         self.image_shape = tuple(image_shape)
         self.max_delay = max_delay_ms / 1e3
         self._step = jax.jit(step)
@@ -132,10 +144,15 @@ class InferenceServer:
             self.warmup()
 
     # -- lifecycle -------------------------------------------------------
+    def _put(self, images: np.ndarray):
+        if self.sharding is not None:
+            return jax.device_put(images, self.sharding)
+        return jnp.asarray(images)
+
     def warmup(self) -> None:
         """Compile every bucket up front so no request pays a compile."""
         for b in self.buckets:
-            x = jnp.zeros((b,) + self.image_shape, jnp.float32)
+            x = self._put(np.zeros((b,) + self.image_shape, np.float32))
             jax.block_until_ready(self._step(x))
 
     def start(self) -> "InferenceServer":
@@ -208,7 +225,7 @@ class InferenceServer:
             for i, r in enumerate(batch):
                 images[i] = r.image
             try:
-                out = self._step(jnp.asarray(images))
+                out = self._step(self._put(images))
                 out = jax.tree_util.tree_map(np.asarray, out)
             except BaseException as e:
                 for r in batch:
