@@ -78,3 +78,25 @@ def test_cli_detect_pose(tmp_path):
     kp = kp_lib.read_openpose_json(p_out)
     assert kp.keypoints.shape == (67, 3)
     assert np.isfinite(kp.keypoints).all()
+
+
+def test_cli_train_hmr_synthetic(tmp_path):
+    """train-hmr runs end to end on synthetic data and saves a restorable
+    checkpoint."""
+    from tpubody import cli
+    out = str(tmp_path / "ckpt")
+    assert cli.main([
+        "train-hmr", "--synthetic", "8", "--out", out,
+        "--steps", "2", "--batch", "4", "--size", "32",
+        "--verts", "64"]) == 0
+    import jax.numpy as jnp
+    import optax
+    from tpubody.models import hmr as hmr_lib
+    from tpubody.models import hmr_train
+    from tpubody.utils import checkpoint as ckpt_lib
+    model = hmr_lib.HMR(mean_params=hmr_lib.default_mean_params(),
+                        n_iter=3, dtype=jnp.float32)
+    template = hmr_train.create_train_state(
+        model, optax.adam(1e-4), image_size=32)
+    restored = ckpt_lib.restore_train_state(out, template)
+    assert int(restored.step) == 2

@@ -76,6 +76,61 @@ def _cmd_animate(args) -> int:
     return 0
 
 
+def _cmd_train_hmr(args) -> int:
+    """Train HMR with the input pipeline; saves an orbax checkpoint.
+
+    Data: an .npz with images (N,S,S,3), keypoints2d (N,24,3) and optional
+    gt_rotmats (N,24,3,3) / gt_shape (N,10) — or --synthetic N for a
+    self-contained smoke run."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpubody.io import dataset as ds
+    from tpubody.models import hmr as hmr_lib
+    from tpubody.models import hmr_train
+    from tpubody.models import params as params_lib
+    from tpubody.utils import checkpoint as ckpt_lib
+
+    if args.synthetic:
+        data = ds.ArrayDataset([
+            ds.preprocess_example(e, size=args.size)
+            for e in ds.synthetic_hmr_dataset(
+                args.synthetic, image_size=args.size + 16)._examples])
+    else:
+        z = np.load(args.data)
+        n = len(z["images"])
+        data = ds.ArrayDataset([
+            ds.HMRExample(
+                z["images"][i], z["keypoints2d"][i],
+                z["gt_rotmats"][i] if "gt_rotmats" in z else None,
+                z["gt_shape"][i] if "gt_shape" in z else None)
+            for i in range(n)])
+
+    model = hmr_lib.HMR(mean_params=hmr_lib.default_mean_params(),
+                        n_iter=3, dtype=jnp.float32)
+    smpl = params_lib.synthetic(n_joints=24, n_verts=args.verts, seed=0)
+    tx = optax.adam(args.lr)
+    state = hmr_train.create_train_state(model, tx, image_size=args.size)
+    step = jax.jit(hmr_train.make_train_step(
+        model, smpl, tx, img_size=float(args.size)))
+
+    loader = ds.DeviceLoader(
+        data, batch_size=args.batch, num_epochs=None, seed=0,
+        transforms=[lambda e, r: ds.random_flip(e, r)])
+    rng = jax.random.PRNGKey(0)
+    it = iter(loader)
+    for i in range(args.steps):
+        batch = next(it)
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, batch, k)
+        if i % max(1, args.steps // 10) == 0:
+            print(f"step {i}: loss {float(metrics['loss']):.4f}")
+    ckpt_lib.save_train_state(args.out, state)
+    print(f"saved checkpoint to {args.out}")
+    return 0
+
+
 def _cmd_detect_pose(args) -> int:
     """Image -> 0_keypoints.json via the in-framework detector (the
     reference's lib/openpose.py openpose(img, save) contract)."""
@@ -173,6 +228,19 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt", default=None,
                    help="trained pose2d checkpoint (orbax)")
     p.set_defaults(fn=_cmd_detect_pose)
+
+    p = sub.add_parser("train-hmr",
+                       help="train HMR (keypoint + SMPL supervision)")
+    p.add_argument("--data", default=None, help="dataset .npz")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic examples instead of --data")
+    p.add_argument("--out", required=True, help="checkpoint output dir")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--verts", type=int, default=6890)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.set_defaults(fn=_cmd_train_hmr)
 
     args = parser.parse_args(argv)
     return args.fn(args)
