@@ -41,21 +41,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dot3(a, b):
+    """bf16x3 matmul: fp32 operands split into hi+lo bf16, three single-pass
+    MXU dots (hi*hi + hi*lo + lo*hi; the lo*lo term is below fp32 rounding).
+    ~2x the throughput of a full-fp32 (6-pass) dot at ~1e-7 relative error —
+    the same algorithm XLA's Precision.HIGH uses, written out because Mosaic
+    does not accept HIGH inside a kernel."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    ah = a.astype(bf16)
+    al = (a - ah.astype(f32)).astype(bf16)
+    bh = b.astype(bf16)
+    bl = (b - bh.astype(f32)).astype(bf16)
+    d = functools.partial(jnp.dot, preferred_element_type=f32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _fused_kernel(wT_ref, pdxT_ref, pdyT_ref, pdzT_ref, g_ref, f_ref,
-                  out_ref):
+                  out_ref, *, precision):
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST      # full fp32 MXU passes (parity)
+    if precision == "bf16x3":
+        dot = _dot3
+    else:
+        dot = functools.partial(jnp.dot, preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST)
     feat = f_ref[...]                       # (TF, P+1), last col = 1
-    vx = jnp.dot(feat, pdxT_ref[...], preferred_element_type=f32,
-                 precision=hi)              # (TF, TV)
-    vy = jnp.dot(feat, pdyT_ref[...], preferred_element_type=f32,
-                 precision=hi)
-    vz = jnp.dot(feat, pdzT_ref[...], preferred_element_type=f32,
-                 precision=hi)
+    vx = dot(feat, pdxT_ref[...])           # (TF, TV)
+    vy = dot(feat, pdyT_ref[...])
+    vz = dot(feat, pdzT_ref[...])
 
     # (16*TF, J) @ (J, TV) -> (16*TF, TV); rows ordered (k, frame).
-    Tt = jnp.dot(g_ref[...], wT_ref[...], preferred_element_type=f32,
-                 precision=hi)
+    Tt = dot(g_ref[...], wT_ref[...])
     TF = feat.shape[0]
 
     def c(k):
@@ -67,7 +82,8 @@ def _fused_kernel(wT_ref, pdxT_ref, pdyT_ref, pdzT_ref, g_ref, f_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("parents", "frame_tile",
-                                             "vert_tile", "pose_is_rotmat"))
+                                             "vert_tile", "pose_is_rotmat",
+                                             "kernel_precision"))
 def lbs_forward_batch_fused(
     v_template: jnp.ndarray,    # (V, 3)
     shapedirs: jnp.ndarray,     # (V, 3, S)
@@ -81,8 +97,13 @@ def lbs_forward_batch_fused(
     frame_tile: int = 128,
     vert_tile: int = 512,
     pose_is_rotmat: bool = False,
+    kernel_precision: str = "highest",
 ) -> jnp.ndarray:
-    """Batched LBS verts via the fused Pallas kernel -> (F, V, 3)."""
+    """Batched LBS verts via the fused Pallas kernel -> (F, V, 3).
+
+    ``kernel_precision``: "highest" (6-pass bf16 = full fp32, the parity
+    default) or "bf16x3" (manual 3-pass split, ~1e-7 relative — still far
+    inside the 1e-4 oracle budget, at roughly half the MXU cost)."""
     F, J = poses.shape[0], poses.shape[1]
     V = v_template.shape[0]
     P = posedirs.shape[-1]
@@ -144,8 +165,11 @@ def lbs_forward_batch_fused(
     g = jnp.transpose(g, (0, 3, 1, 2)).reshape(Fp * 16, J)
 
     grid = (Fp // TF, Vp // TV)
+    if kernel_precision not in ("highest", "bf16x3"):
+        raise ValueError(f"unknown kernel_precision {kernel_precision!r}")
+    kernel = functools.partial(_fused_kernel, precision=kernel_precision)
     out = pl.pallas_call(
-        _fused_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((J, TV), lambda f, v: (0, v),
