@@ -122,3 +122,26 @@ class TestCheckpoint:
         b = jax.tree_util.tree_leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == int(state.step)
+
+
+class TestMetrics:
+    def test_jsonl_roundtrip(self, tmp_path):
+        from tpubody.utils.metrics import MetricsLogger, read_jsonl
+        p = str(tmp_path / "m.jsonl")
+        with MetricsLogger(p) as m:
+            m.log("train", step=0, loss=1.5)
+            m.log("train", step=1, loss=0.75, lr=1e-3)
+            m.log("eval", pck=0.9)
+        recs = read_jsonl(p)
+        assert len(recs) == 3
+        assert recs[1]["loss"] == 0.75 and recs[1]["step"] == 1
+        assert recs[2]["tag"] == "eval" and "step" not in recs[2]
+
+    def test_tensorboard_sink_optional(self, tmp_path):
+        from tpubody.utils.metrics import MetricsLogger
+        with MetricsLogger(str(tmp_path / "m.jsonl"),
+                           tb_dir=str(tmp_path / "tb")) as m:
+            m.log("train", step=0, loss=2.0)
+        # events file written if tensorboardX is available; logger must
+        # not fail either way
+        assert (tmp_path / "m.jsonl").exists()

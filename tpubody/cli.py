@@ -115,17 +115,21 @@ def _cmd_train_hmr(args) -> int:
     step = jax.jit(hmr_train.make_train_step(
         model, smpl, tx, img_size=float(args.size)))
 
+    from tpubody.utils.metrics import MetricsLogger
+
     loader = ds.DeviceLoader(
         data, batch_size=args.batch, num_epochs=None, seed=0,
         transforms=[lambda e, r: ds.random_flip(e, r)])
     rng = jax.random.PRNGKey(0)
     it = iter(loader)
-    for i in range(args.steps):
-        batch = next(it)
-        rng, k = jax.random.split(rng)
-        state, metrics = step(state, batch, k)
-        if i % max(1, args.steps // 10) == 0:
-            print(f"step {i}: loss {float(metrics['loss']):.4f}")
+    with MetricsLogger(os.path.join(args.out + "_metrics.jsonl")) as mlog:
+        for i in range(args.steps):
+            batch = next(it)
+            rng, k = jax.random.split(rng)
+            state, metrics = step(state, batch, k)
+            mlog.log("train", step=i, loss=float(metrics["loss"]))
+            if i % max(1, args.steps // 10) == 0:
+                print(f"step {i}: loss {float(metrics['loss']):.4f}")
     ckpt_lib.save_train_state(args.out, state)
     print(f"saved checkpoint to {args.out}")
     return 0
