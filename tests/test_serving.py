@@ -120,3 +120,17 @@ def test_sharded_server_rejects_indivisible_buckets():
         serving.InferenceServer(double_step, image_shape=SHAPE,
                                 buckets=(1, 4), sharding=sharding,
                                 warmup=False)
+
+
+def test_device_resident_results():
+    """to_host=False resolves futures to device arrays (no host copy on
+    the dispatch path); values still exact."""
+    s = serving.InferenceServer(
+        double_step, image_shape=SHAPE, buckets=(1, 2),
+        max_delay_ms=5.0, to_host=False)
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=SHAPE).astype(np.float32)
+    with s:
+        doubled, total = s(img)
+    assert isinstance(doubled, jax.Array)
+    np.testing.assert_allclose(np.asarray(doubled), img * 2.0, rtol=1e-6)

@@ -118,11 +118,18 @@ class InferenceServer:
         max_delay_ms: float = 5.0,
         warmup: bool = True,
         sharding: Optional[Any] = None,
+        to_host: bool = True,
     ):
         """``sharding``: optional ``jax.sharding.Sharding`` for the batch
         axis (e.g. ``tpubody.dist.mesh.frames_sharding``) — batches land
         pre-sharded across the mesh and XLA runs the step SPMD.  Every
-        bucket size must then be divisible by the mesh device count."""
+        bucket size must then be divisible by the mesh device count.
+
+        ``to_host``: resolve futures to numpy (default).  Pass False to
+        keep results as device arrays — futures then resolve to lazy
+        per-request slices, and large outputs (e.g. 6890-vertex meshes)
+        never cross the host boundary unless the consumer pulls them;
+        chain device-side post-processing without a PCIe round-trip."""
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         if not self.buckets:
             raise ValueError("need at least one bucket size")
@@ -135,6 +142,7 @@ class InferenceServer:
                     f"buckets {bad} not divisible by mesh size {n_dev}")
         self.image_shape = tuple(image_shape)
         self.max_delay = max_delay_ms / 1e3
+        self.to_host = to_host
         self._step = jax.jit(step)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -226,7 +234,10 @@ class InferenceServer:
                 images[i] = r.image
             try:
                 out = self._step(self._put(images))
-                out = jax.tree_util.tree_map(np.asarray, out)
+                if self.to_host:
+                    out = jax.tree_util.tree_map(np.asarray, out)
+                else:
+                    jax.block_until_ready(out)
             except BaseException as e:
                 for r in batch:
                     r.future.set_exception(e)
