@@ -96,3 +96,47 @@ def test_expected_intermediates_schema():
     j = np.load(p)
     assert j.shape == (24, 3)
     assert np.isfinite(j).all()
+
+
+@pytest.mark.slow
+class TestFixtureFit:
+    def test_fitting_reduces_reprojection_on_real_keypoints(self):
+        """SMPLify on test01's REAL OpenPose keypoints (synthetic body
+        standing in for the stripped SMPLH pkl): the staged fit must cut
+        the weighted 2D reprojection error well below the zero-pose
+        initialization."""
+        import jax.numpy as jnp
+        from tpubody.fit import joints as joints_lib
+        from tpubody.fit import keypoints as kp_lib
+        from tpubody.fit import smplify
+        from tpubody.models import params as params_lib
+        from tpubody.models import smpl as smpl_lib
+        from tpubody.core.rotations import rodrigues
+
+        kp = kp_lib.read_openpose_json(
+            os.path.join(FIXTURE, "0_keypoints.json"))
+        model = params_lib.synthetic(n_joints=52, n_verts=400, seed=0)
+        center = np.array([512.0, 512.0])
+        cfg = smplify.FitConfig(maxiters=10)
+
+        def reproj_err(pose156, cam_t):
+            R = rodrigues(jnp.asarray(pose156, jnp.float32).reshape(52, 3))
+            state = smpl_lib.forward(model, R, jnp.zeros(10),
+                                     pose_is_rotmat=True)
+            j = joints_lib.openpose_joints(
+                state.verts, state.joints_posed,
+                vertex_ids=joints_lib.extra_vertex_ids(model.num_verts))
+            cam = j + jnp.asarray(cam_t, jnp.float32)
+            z = jnp.maximum(cam[..., 2:3], 1e-2)
+            proj = cam[..., :2] / z * cfg.focal_length + center
+            conf = kp.keypoints[:, 2]
+            d = np.linalg.norm(np.asarray(proj) - kp.keypoints[:, :2],
+                               axis=-1)
+            return float((d * conf).sum() / conf.sum())
+
+        out = smplify.fit_frame(model, kp.keypoints, center, cfg)
+        # initial error: zero pose at the fitted camera depth
+        err0 = reproj_err(np.zeros(156), out.camera_translation)
+        err1 = reproj_err(out.pose, out.camera_translation)
+        assert np.isfinite(out.loss)
+        assert err1 < err0 * 0.9, (err0, err1)
