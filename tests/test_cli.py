@@ -100,3 +100,22 @@ def test_cli_train_hmr_synthetic(tmp_path):
         model, optax.adam(1e-4), image_size=32)
     restored = ckpt_lib.restore_train_state(out, template)
     assert int(restored.step) == 2
+
+
+def test_cli_infer(tmp_path):
+    """infer writes one mesh per image + params.npz (flagship path)."""
+    import cv2
+    import numpy as np
+    from tpubody import cli
+    rng = np.random.default_rng(1)
+    imgs = []
+    for i in range(2):
+        p = str(tmp_path / f"img{i}.png")
+        cv2.imwrite(p, rng.integers(0, 255, (64, 48, 3), dtype=np.uint8))
+        imgs.append(p)
+    out = str(tmp_path / "meshes")
+    assert cli.main(["infer", *imgs, "--out", out]) == 0
+    import os
+    assert sorted(os.listdir(out)) == ["img0.obj", "img1.obj", "params.npz"]
+    z = np.load(os.path.join(out, "params.npz"))
+    assert z["rotmats"].shape == (2, 24, 3, 3)

@@ -76,6 +76,35 @@ def _cmd_animate(args) -> int:
     return 0
 
 
+def _cmd_infer(args) -> int:
+    """Images -> HMR -> SMPL meshes (OBJ/PLY per image) — the flagship
+    batched-inference path (pipelines/hmr_infer.py) from the CLI."""
+    from tpubody.mesh import meshio
+    from tpubody.pipelines import hmr_infer
+
+    predictor = hmr_infer.HMRPredictor()
+    if args.torch_ckpt:
+        predictor.load_torch_checkpoint(args.torch_ckpt)
+    result = predictor.from_files(args.images)
+    os.makedirs(args.out, exist_ok=True)
+    faces = np.asarray(predictor.smpl.faces)
+    for i, p in enumerate(args.images):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        verts = np.asarray(result.verts[i])
+        out_path = os.path.join(args.out, stem + "." + args.format)
+        if args.format == "obj":
+            meshio.write_obj(out_path, verts, faces)
+        else:
+            meshio.write_ply(out_path, verts, faces)
+        print(f"wrote {out_path}")
+    np.savez(os.path.join(args.out, "params.npz"),
+             rotmats=np.asarray(result.rotmats),
+             shape=np.asarray(result.shape),
+             cam=np.asarray(result.cam),
+             cam_t=np.asarray(result.cam_t))
+    return 0
+
+
 def _cmd_train_hmr(args) -> int:
     """Train HMR with the input pipeline; saves an orbax checkpoint.
 
@@ -232,6 +261,15 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt", default=None,
                    help="trained pose2d checkpoint (orbax)")
     p.set_defaults(fn=_cmd_detect_pose)
+
+    p = sub.add_parser("infer",
+                       help="images -> HMR -> SMPL meshes (batched)")
+    p.add_argument("images", nargs="+", help="input image files")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--format", choices=("obj", "ply"), default="obj")
+    p.add_argument("--torch-ckpt", default=None,
+                   help="reference torch HMR checkpoint to convert")
+    p.set_defaults(fn=_cmd_infer)
 
     p = sub.add_parser("train-hmr",
                        help="train HMR (keypoint + SMPL supervision)")
