@@ -1,5 +1,9 @@
 """Pallas TPU kernel: fused batched LBS skinning.
 
+TPU-native replacement for the reference's per-frame numpy skinning
+(models/smpl_np.py:168-202 compute_R_G/do_skinning and the animation loop
+lib/model2video.py:42-81), batched over frames.
+
 The batched SMPL forward (BASELINE "SMPL LBS poses/sec") decomposes into
   (a) tiny per-frame work: Rodrigues + the 24-step FK chain -> G_rel,
   (b) heavy per-vertex work: pose blendshapes, per-vertex blend transforms
