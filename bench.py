@@ -55,11 +55,21 @@ def main() -> None:
     images = jnp.asarray(
         rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
 
+    lbs_path = "pallas" if use_pallas else "xla"
     try:
         jax.block_until_ready(step(images))
-    except Exception:
+    except Exception as exc:
         # Pallas path failed on this toolchain — fall back to the XLA LBS
-        # so the bench still reports the flagship number.
+        # so the bench still reports the flagship number, but say so loudly
+        # and record the path in the JSON so a kernel regression is visible.
+        import sys
+        import traceback
+
+        print("WARNING: Pallas LBS kernel failed to compile/run; "
+              f"falling back to XLA LBS: {exc!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        lbs_path = "xla-fallback"
+
         @jax.jit
         def step(images):  # noqa: F811
             out = model.apply(variables, images)
@@ -94,6 +104,7 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / TARGET_FPS, 3),
+        "lbs_path": lbs_path,
     }))
 
 
