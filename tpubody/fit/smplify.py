@@ -49,6 +49,16 @@ class FitConfig:
     use_pca: bool = True          # PCA hand pose when the model carries
     num_pca_comps: int = 12       # hands_components (fit_smplh.yaml)
     try_both_orient: bool = False
+    # When the 2D shoulder distance is under this many pixels the subject
+    # is side-on and both orientations are tried regardless of
+    # try_both_orient (reference fit_single_frame.py:287-290).  0 disables.
+    side_view_thsh: float = 25.0
+    # Body-pose prior when use_vposer is off: l2 | gmm (the reference's
+    # 'mog' MaxMixture, prior.py:36-50,100-231; selected fitting.py:385-388).
+    body_prior_type: str = "l2"
+    num_gaussians: int = 8
+    prior_folder: str = ""        # dir holding gmm_{num_gaussians:02d}.pkl
+    use_joints_conf: bool = True  # scale joint weights by detector conf
     joints_to_ign: Tuple[int, ...] = (1, 9, 12)
     init_joints_idxs: Tuple[int, ...] = (9, 12, 2, 5)
     body_tri_idxs: Tuple[Tuple[int, int], ...] = ((5, 12), (2, 9))
@@ -151,8 +161,14 @@ def fit_frame(
     config: FitConfig = FitConfig(),
     dec_params=None,
     rng: Optional[jax.Array] = None,
+    init_cam_t: Optional[np.ndarray] = None,
 ) -> FitOutput:
-    """Fit SMPLH parameters to one frame's keypoints."""
+    """Fit SMPLH parameters to one frame's keypoints.
+
+    ``init_cam_t`` overrides the limb-ratio depth heuristic
+    (guess_init, reference fitting.py:36-110) with an external camera
+    estimate — e.g. the HMR regressor's camera when SMPLify runs as a
+    refinement stage."""
     decoder = vposer_lib.VPoserDecoder()
     if dec_params is None:
         _, dec_params = vposer_lib.create_decoder(rng)
@@ -184,14 +200,41 @@ def fit_frame(
     # --- initialization -------------------------------------------------
     zeros_p = {
         "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
-        "pose_embedding": jnp.zeros(32), "cam_t": jnp.zeros(3),
+        "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(63),
+        "cam_t": jnp.zeros(3),
         "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
     }
+
+    # Body-pose prior for the non-VPoser path (reference fitting.py:385-388
+    # routes through the prior selected by body_prior_type).
+    gmm_prior = None
+    if not config.use_vposer and config.body_prior_type in ("gmm", "mog"):
+        import os as _os
+
+        gmm_path = _os.path.join(
+            config.prior_folder, f"gmm_{config.num_gaussians:02d}.pkl") \
+            if config.prior_folder else ""
+        if gmm_path and _os.path.exists(gmm_path):
+            gmm_prior = priors_lib.load_gmm(gmm_path)
+            if gmm_prior.means.shape[1] != 63:
+                # SMPLify GMM pickles are 69-dim (23 SMPL body joints);
+                # SMPLH body pose is 63-dim — keep the shared prefix.
+                gmm_prior = priors_lib.GMMPrior(
+                    means=gmm_prior.means[:, :63],
+                    precisions=gmm_prior.precisions[:, :63, :63],
+                    log_norm=gmm_prior.log_norm)
+        else:
+            gmm_prior = priors_lib.synthetic_gmm(
+                n_components=config.num_gaussians, dim=63)
     state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), zeros_p["betas"])
     j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
                                     vertex_ids=vertex_ids)
-    est_d = guess_init_depth(j0, gt2d, config.body_tri_idxs, focal)
-    init_t = jnp.asarray([0.0, 0.0, est_d])
+    if init_cam_t is not None:
+        init_t = jnp.asarray(np.asarray(init_cam_t), jnp.float32)
+        est_d = init_t[2]
+    else:
+        est_d = guess_init_depth(j0, gt2d, config.body_tri_idxs, focal)
+        init_t = jnp.asarray([0.0, 0.0, est_d])
 
     # --- camera stage ---------------------------------------------------
     init_idxs = jnp.asarray(config.init_joints_idxs)
@@ -220,8 +263,14 @@ def fit_frame(
     orient0 = cam_res.params["global_orient"]
 
     # --- orientation candidates ----------------------------------------
+    # Side-on subjects (2D shoulders nearly coincident) are ambiguous up to
+    # a 180-degree flip — try both (fit_single_frame.py:287-290,337-356).
+    shoulder_dist = float(np.linalg.norm(
+        np.asarray(gt2d[2]) - np.asarray(gt2d[5])))
+    try_both = (config.try_both_orient
+                or shoulder_dist < config.side_view_thsh)
     orients = [np.asarray(orient0)]
-    if config.try_both_orient:
+    if try_both:
         from tpubody.core.rotations import rodrigues, rotmat_to_axis_angle
         R0 = np.asarray(rodrigues(orient0))
         Rflip = np.asarray(rodrigues(jnp.asarray([0.0, np.pi, 0.0])))
@@ -247,12 +296,15 @@ def fit_frame(
             (body_R[:, 0, 2] - body_R[:, 2, 0]) / 2,
             (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
         ], axis=-1).reshape(-1)
-        weights = jw * conf
+        weights = jw * conf if config.use_joints_conf else jw
         weights = weights.at[25:].multiply(w["hand_joints"])
         diff = priors_lib.gmof(gt2d - proj, config.rho)
         joint_loss = jnp.sum(weights[:, None] ** 2 * diff) * w["data"] ** 2
         if config.use_vposer:
             pprior = jnp.sum(p["pose_embedding"] ** 2) * w["body_pose"] ** 2
+        elif gmm_prior is not None:
+            pprior = priors_lib.max_mixture_prior(
+                p["body_pose"], gmm_prior) * w["body_pose"] ** 2
         else:
             pprior = priors_lib.l2_prior(p["body_pose"]) * w["body_pose"] ** 2
         shape_loss = priors_lib.l2_prior(p["betas"]) * w["shape"] ** 2
@@ -274,11 +326,16 @@ def fit_frame(
         p = {
             "global_orient": jnp.asarray(orient, jnp.float32).reshape(3),
             "betas": jnp.zeros(10),
-            "pose_embedding": jnp.zeros(32),
             "cam_t": cam_t0,
             "lhand": jnp.zeros(hand_dim),
             "rhand": jnp.zeros(hand_dim),
         }
+        # Only the live pose parameterization is optimized: the latent
+        # embedding under VPoser, raw 63-dim axis-angle otherwise.
+        if config.use_vposer:
+            p["pose_embedding"] = jnp.zeros(32)
+        else:
+            p["body_pose"] = jnp.zeros(63)
         loss_val = None
         for s in range(n_stages):
             w = {
@@ -320,6 +377,6 @@ def fit_frame(
         camera_rotation=np.eye(3),
         camera_center=np.asarray(camera_center),
         camera_fx=focal,
-        pose_embedding=np.asarray(p["pose_embedding"]),
+        pose_embedding=np.asarray(p.get("pose_embedding", jnp.zeros(32))),
         loss=loss_val,
     )
