@@ -51,6 +51,54 @@ class TestFixtureIO:
         assert cfg.focal_length == 5000.0
         assert len(cfg.body_pose_prior_weights) == 5
 
+    def test_conf_yaml_full_flag_parity(self):
+        """Every live fitting flag in the reference fixture conf.yaml
+        lands on its FitConfig field — no silent drops (VERDICT round 1;
+        reference smpl_config.py:14-272 is the source surface)."""
+        from tpubody.pipelines import gen_smplh as gen_lib
+        cfg = gen_lib.load_config(os.path.join(FIXTURE, "conf.yaml"))
+        assert cfg.optim_type == "lbfgsls"
+        assert cfg.lr == 1.0
+        assert cfg.maxiters == 30
+        assert cfg.ftol == 1e-9 and cfg.gtol == 1e-9
+        assert cfg.rho == 100.0
+        assert cfg.depth_loss_weight == 100.0
+        assert tuple(cfg.data_weights) == (1, 1, 1, 1, 1)
+        assert tuple(cfg.body_pose_prior_weights) == (
+            404.0, 404.0, 57.4, 4.78, 4.78)
+        assert tuple(cfg.shape_weights) == (100.0, 50.0, 10.0, 5.0, 5.0)
+        assert tuple(cfg.hand_pose_prior_weights) == (
+            404.0, 404.0, 57.4, 4.78, 4.78)
+        assert tuple(cfg.hand_joints_weights) == (0.0, 0.0, 0.0, 0.1, 2.0)
+        assert tuple(cfg.coll_loss_weights) == (0.0, 0.0, 0.0, 0.01, 1.0)
+        assert cfg.use_vposer and cfg.use_hands and cfg.use_joints_conf
+        assert cfg.use_pca and cfg.num_pca_comps == 12
+        assert not cfg.interpenetration
+        assert cfg.body_prior_type == "l2"
+        assert cfg.num_gaussians == 8
+        assert cfg.prior_folder == "priors"
+        assert cfg.side_view_thsh == 25
+        assert tuple(cfg.joints_to_ign) == (1, 9, 12)
+        assert tuple(cfg.init_joints_idxs) == (9, 12, 2, 5)
+        assert cfg.body_tri_idxs == ((5, 12), (2, 9))
+
+    def test_conf_yaml_unknown_key_raises(self, tmp_path):
+        from tpubody.pipelines import gen_smplh as gen_lib
+        p = tmp_path / "conf.yaml"
+        p.write_text("optim_type: adam\nsome_new_flag: 3\n")
+        with pytest.raises(ValueError, match="some_new_flag"):
+            gen_lib.load_config(str(p))
+
+    def test_conf_yaml_flat_tri_idxs_and_scalar_ign(self, tmp_path):
+        """smpl_config.py CLI forms: flat body_tri_idxs [5,12,2,9] and
+        scalar joints_to_ign -1."""
+        from tpubody.pipelines import gen_smplh as gen_lib
+        p = tmp_path / "conf.yaml"
+        p.write_text("body_tri_idxs: [5, 12, 2, 9]\njoints_to_ign: -1\n")
+        cfg = gen_lib.load_config(str(p))
+        assert cfg.body_tri_idxs == ((5, 12), (2, 9))
+        assert cfg.joints_to_ign == ()
+
 
 @pytest.mark.slow
 class TestFixtureReconstruct:
@@ -140,3 +188,48 @@ class TestFixtureFit:
         err1 = reproj_err(out.pose, out.camera_translation)
         assert np.isfinite(out.loss)
         assert err1 < err0 * 0.9, (err0, err1)
+
+
+@pytest.mark.slow
+class TestFitArtifacts:
+    def test_gen_smplh_writes_reference_artifacts(self, tmp_path):
+        """gen_smplh emits the reference's side-artifacts next to
+        smplh.pkl: pre_smplh.pkl, smplh.obj, smplh2rgb_rend.png
+        (fit_single_frame.py:440-521)."""
+        import pickle
+
+        from tpubody.fit import smplify
+        from tpubody.mesh import meshio
+        from tpubody.models import params as params_lib
+        from tpubody.pipelines import gen_smplh as gen_lib
+
+        model = params_lib.synthetic(n_joints=52, n_verts=300, seed=0)
+        cfg = smplify.FitConfig(maxiters=2, optim_type="adam", lr=0.05,
+                                side_view_thsh=0.0)
+        out_dir = str(tmp_path)
+        gen_lib.gen_smplh(
+            os.path.join(FIXTURE, "front_rgb.png"),
+            os.path.join(FIXTURE, "0_keypoints.json"),
+            out_dir, model=model, config=cfg)
+
+        for name in ("conf.yaml", "smplh.pkl", "pre_smplh.pkl",
+                     "smplh.obj", "smplh2rgb_rend.png"):
+            assert os.path.exists(os.path.join(out_dir, name)), name
+
+        with open(os.path.join(out_dir, "pre_smplh.pkl"), "rb") as f:
+            pre = pickle.load(f)
+        assert pre["camera_translation"].shape == (3,)
+        assert pre["betas"].shape == (10,)
+        assert pre["body_pose"].shape in ((32,), (63,))
+
+        verts, faces = meshio.read_obj(os.path.join(out_dir, "smplh.obj"))
+        assert verts.shape == (300, 3) and faces.shape[1] == 3
+
+        import cv2
+        overlay = cv2.imread(os.path.join(out_dir, "smplh2rgb_rend.png"))
+        photo = cv2.imread(os.path.join(FIXTURE, "front_rgb.png"))
+        assert overlay.shape == photo.shape
+        # The render changed a non-trivial number of pixels.
+        changed = (np.abs(overlay.astype(int) - photo.astype(int)).sum(-1)
+                   > 10).mean()
+        assert changed > 1e-4, changed

@@ -26,10 +26,45 @@ DEFAULT_VPOSER_CKPT = os.environ.get(
     "/root/reference/lib/Gen_SMPLH/vposer/snapshots/TR00_E096.pt")
 
 
+# Reference config keys that do NOT map to FitConfig fields and are
+# intentionally handled elsewhere or dead (smpl_config.py:14-272): IO paths
+# and environment selection live in the CLI / gen_smplh arguments; SMPL-X
+# face/expression flags have no SMPLH counterpart; use_cuda/float_dtype are
+# meaningless under XLA (device + dtype are framework-level choices).
+_ACKNOWLEDGED_NON_FITCONFIG_KEYS = frozenset({
+    # IO / environment (handled by gen_smplh arguments + model loading)
+    "input_img_path", "input_keyp_path", "output_folder", "config",
+    "vposer_ckpt", "model_folder", "part_segm_fn",
+    "summary_folder", "use_cuda", "float_dtype", "interactive",
+    "visualize", "save_meshes", "degrees", "dataset", "max_persons",
+    "gender", "gender_lbl_type", "model_type", "camera_type",
+    "batch_size", "loss_type",
+    # SMPL-X face/expression surface (no SMPLH counterpart)
+    "use_face", "use_face_contour", "optim_jaw", "optim_expression",
+    "jaw_prior_type", "jaw_pose_prior_weights", "expr_weights",
+    "face_joints_weights",
+    # Hand-prior variants: tpubody regularizes hand PCA coefficients with
+    # L2 (see fit/smplify.py body_loss); the MoG hand prior needs pickles
+    # the reference does not ship.
+    "left_hand_prior_type", "right_hand_prior_type", "optim_hands",
+    "optim_shape", "flat_hand_mean",
+    # BVH collision internals (tpubody uses a sphere proxy, fit/collision.py)
+    "df_cone_height", "max_collisions", "point2plane", "penalize_outside",
+    "ign_part_pairs",
+})
+
+
 def load_config(yaml_path: Optional[str] = None,
                 **overrides) -> smplify.FitConfig:
     """YAML-over-defaults config layering (reference parse_config,
-    lib/Gen_SMPLH/smpl_config.py:14-272 + fit_smplh.yaml)."""
+    lib/Gen_SMPLH/smpl_config.py:14-272 + fit_smplh.yaml).
+
+    Every YAML key whose name matches a FitConfig field lands on that
+    field (full live-flag parity: optim_type, lr, data_weights, use_pca,
+    num_pca_comps, interpenetration, coll_loss_weights, body_prior_type,
+    side_view_thsh, ...).  Unknown keys outside the acknowledged
+    environment/dead set raise so nothing is silently dropped.
+    """
     cfg = {}
     if yaml_path and os.path.exists(yaml_path):
         import yaml
@@ -46,23 +81,33 @@ def load_config(yaml_path: Optional[str] = None,
 
         with open(yaml_path) as f:
             raw = yaml.load(f, Loader=_Loader) or {}
-        field_names = {f.name for f in dataclasses.fields(smplify.FitConfig)}
-        rename = {
-            "focal_length": "focal_length", "rho": "rho",
-            "maxiters": "maxiters", "ftol": "ftol", "gtol": "gtol",
-            "use_vposer": "use_vposer", "use_hands": "use_hands",
-            "joints_to_ign": "joints_to_ign",
-            "body_pose_prior_weights": "body_pose_prior_weights",
-            "shape_weights": "shape_weights",
-            "hand_pose_prior_weights": "hand_pose_prior_weights",
-            "hand_joints_weights": "hand_joints_weights",
-        }
-        for src, dst in rename.items():
-            if src in raw and dst in field_names:
-                v = raw[src]
-                if isinstance(v, list):
-                    v = tuple(v)
-                cfg[dst] = v
+
+        fields = {f.name: f for f in dataclasses.fields(smplify.FitConfig)}
+        unknown = []
+        for key, v in raw.items():
+            if key not in fields:
+                if key not in _ACKNOWLEDGED_NON_FITCONFIG_KEYS:
+                    unknown.append(key)
+                continue
+            if key == "body_tri_idxs":
+                # Accept both the dumped tuple-pairs form and the flat
+                # CLI form [5, 12, 2, 9] (smpl_config.py body_tri_idxs).
+                seq = [tuple(x) if isinstance(x, (list, tuple)) else x
+                       for x in v]
+                if seq and not isinstance(seq[0], tuple):
+                    seq = [tuple(seq[i:i + 2]) for i in range(0, len(seq), 2)]
+                cfg[key] = tuple(seq)
+            elif key == "joints_to_ign" and not isinstance(v, (list, tuple)):
+                # smpl_config.py default is the scalar -1 = "none".
+                cfg[key] = () if v in (-1, None) else (int(v),)
+            elif isinstance(v, list):
+                cfg[key] = tuple(v)
+            else:
+                cfg[key] = v
+        if unknown:
+            raise ValueError(
+                f"conf.yaml keys not understood (would be silently "
+                f"dropped): {sorted(unknown)}")
     cfg.update(overrides)
     return smplify.FitConfig(**cfg)
 
@@ -85,8 +130,11 @@ def gen_smplh(
     config: Optional[smplify.FitConfig] = None,
     config_yaml: Optional[str] = None,
     vposer_ckpt: Optional[str] = None,
+    save_artifacts: bool = True,
 ) -> rec.FitResult:
-    """Fit SMPLH to one image's keypoints; write conf.yaml + smplh.pkl."""
+    """Fit SMPLH to one image's keypoints; write conf.yaml + smplh.pkl
+    (+ pre_smplh.pkl, smplh.obj, smplh2rgb_rend.png like the reference's
+    fit_single_frame.py:440-521 when ``save_artifacts``)."""
     import cv2
     os.makedirs(out_path, exist_ok=True)
     config = config or load_config(config_yaml)
@@ -118,4 +166,54 @@ def gen_smplh(
         camera_translation=out.camera_translation,
         camera_fx=out.camera_fx)
     rec.save_fit_pickle(os.path.join(out_path, "smplh.pkl"), fit)
+    if save_artifacts:
+        _save_fit_artifacts(out_path, model, out, img, config)
     return fit
+
+
+def _save_fit_artifacts(out_path: str,
+                        model: params_lib.BodyModelParams,
+                        out: smplify.FitOutput,
+                        img: np.ndarray,
+                        config: smplify.FitConfig) -> None:
+    """Write the reference's fitting side-artifacts next to smplh.pkl
+    (fit_single_frame.py:440-521): pre_smplh.pkl (raw best-orientation
+    parameter dict), smplh.obj (fitted mesh, 180-degree x-flip as the
+    reference's OpenGL convention), smplh2rgb_rend.png (fit rendered over
+    the photo through the TPU rasterizer instead of pyrender)."""
+    import pickle
+
+    from tpubody.mesh import meshio
+    from tpubody.models import smpl as smpl_lib
+    from tpubody.render import viewer as viewer_lib
+
+    params = {
+        "camera_translation": out.camera_translation,
+        "camera_rotation": out.camera_rotation,
+        "camera_center": out.camera_center,
+        "betas": out.shape,
+        "global_orient": out.pose[:3],
+        "body_pose": (out.pose_embedding if config.use_vposer
+                      else out.pose[3:66]),
+        "left_hand_pose": out.pose[66:111],
+        "right_hand_pose": out.pose[111:156],
+        "loss": out.loss,
+    }
+    with open(os.path.join(out_path, "pre_smplh.pkl"), "wb") as f:
+        pickle.dump(params, f, protocol=2)
+
+    state = smpl_lib.forward(
+        model, np.asarray(out.pose, np.float32).reshape(-1, 3),
+        np.asarray(out.shape, np.float32))
+    verts = np.asarray(state.verts)
+    # 180-degree rotation about x (fit_single_frame.py:464-468).
+    flipped = verts * np.array([1.0, -1.0, -1.0])
+    meshio.write_obj(os.path.join(out_path, "smplh.obj"),
+                     flipped, np.asarray(model.faces))
+
+    viewer_lib.overlay_fit(
+        img[..., ::-1] if img.ndim == 3 and img.shape[2] == 3 else img,
+        verts, np.asarray(model.faces),
+        out.camera_translation, out.camera_center,
+        focal=float(out.camera_fx),
+        out_path=os.path.join(out_path, "smplh2rgb_rend.png"))
