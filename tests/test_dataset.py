@@ -1,4 +1,6 @@
 """Input pipeline: preprocessing, augmentation, collation, device prefetch."""
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -158,3 +160,25 @@ class TestLoader:
         loader = ds.DeviceLoader(Bad(), batch_size=2)
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
+
+
+class TestLoaderShutdown:
+    def test_abandoned_iterator_stops_worker(self):
+        """Taking a few batches and dropping the iterator must terminate
+        the prefetch worker (no leaked thread blocking on q.put)."""
+        import threading
+
+        from tpubody.io import dataset as ds
+
+        data = ds.synthetic_hmr_dataset(n=32, image_size=8)
+        loader = ds.DeviceLoader(data, batch_size=2, num_epochs=None,
+                                 prefetch=2)
+        before = threading.active_count()
+        it = iter(loader)
+        for _ in range(3):
+            next(it)
+        it.close()          # what `del it` / GC does via GeneratorExit
+        deadline = time.time() + 10.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before

@@ -134,3 +134,27 @@ def test_device_resident_results():
         doubled, total = s(img)
     assert isinstance(doubled, jax.Array)
     np.testing.assert_allclose(np.asarray(doubled), img * 2.0, rtol=1e-6)
+
+
+class TestBacklogBatching:
+    def test_backlogged_requests_coalesce_not_batch1(self):
+        """Requests that waited past max_delay while the device was busy
+        must still coalesce into large batches (backlog drain in _gather),
+        not degrade to batch=1 dispatches."""
+        s = serving.InferenceServer(
+            double_step, image_shape=SHAPE, buckets=(1, 2, 8),
+            max_delay_ms=1.0)   # tiny budget: every queued req is "late"
+        rng = np.random.default_rng(3)
+        imgs = [rng.normal(size=SHAPE).astype(np.float32)
+                for _ in range(16)]
+        # Queue everything BEFORE the dispatch loop starts, simulating a
+        # backlog accumulated while a previous batch held the device.
+        futures = [s.submit(im) for im in imgs]
+        with s:
+            for im, f in zip(imgs, futures):
+                doubled, _ = f.result(timeout=30)
+                np.testing.assert_allclose(doubled, im * 2.0, rtol=1e-6)
+        snap = s.stats.snapshot()
+        # 16 backlogged requests at bucket cap 8 need only 2-3 batches;
+        # the old deadline-only policy dispatched 16 batches of 1.
+        assert snap["batches"] <= 4, snap

@@ -203,6 +203,7 @@ class DeviceLoader:
     def __iter__(self) -> Iterator[TrainBatch]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def work():
             try:
@@ -214,22 +215,55 @@ class DeviceLoader:
                     else:
                         dev = jax.tree_util.tree_map(
                             jax.device_put, host_batch)
-                    q.put(dev)
+                    # Interruptible put: re-check the stop signal so an
+                    # abandoned iterator (consumer took a few batches and
+                    # walked away, e.g. a step-bounded training CLI) tears
+                    # the worker down instead of blocking on q.put forever
+                    # and pinning `prefetch` device-resident batches.
+                    while not stop.is_set():
+                        try:
+                            q.put(dev, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(self._DONE)
+                while True:
+                    try:
+                        q.put_nowait(self._DONE)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
+                        try:  # make room, then retry the sentinel
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            # GeneratorExit / close() path: signal the worker and drain the
+            # queue so its pending put unblocks, freeing device buffers.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 def synthetic_hmr_dataset(n: int = 16, image_size: int = 64,

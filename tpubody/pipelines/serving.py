@@ -40,7 +40,9 @@ def hmr_smpl_step(dtype=jnp.bfloat16, n_joints: int = 24,
     from tpubody.models import smpl as smpl_lib
 
     model, variables = hmr_lib.create_hmr(dtype=dtype, stem=stem)
-    body = params_lib.synthetic(n_joints=n_joints, n_verts=n_verts, seed=0)
+    body = params_lib.load_or_synthetic(
+        "smpl", n_joints=n_joints, n_verts=n_verts, seed=0,
+        warn=n_verts == 6890)
     use_pallas = jax.default_backend() == "tpu"
 
     def step(images):
@@ -200,15 +202,30 @@ class InferenceServer:
 
     # -- dispatch loop ---------------------------------------------------
     def _gather(self) -> List[_Request]:
-        """Collect requests: block for the first, then coalesce until the
-        largest bucket is full or the oldest exceeds its delay budget."""
+        """Collect requests: block for the first, greedily drain whatever
+        already queued up, then coalesce until the largest bucket is full
+        or the oldest exceeds its delay budget.
+
+        The greedy drain matters under sustained load: while a previous
+        batch occupied the device, queued requests have typically waited
+        past max_delay already, so a deadline-only policy would dispatch
+        batch=1 forever exactly when large batches are needed most.
+        """
         try:
             first = self._q.get(timeout=0.05)
         except queue.Empty:
             return []
         batch = [first]
-        deadline = first.t_submit + self.max_delay
         max_b = self.buckets[-1]
+        # Backlog drain: everything already waiting joins this batch.
+        while len(batch) < max_b:
+            try:
+                batch.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        # Coalescing wait: only while the batch is still below the largest
+        # bucket and the oldest request's delay budget has not expired.
+        deadline = first.t_submit + self.max_delay
         while len(batch) < max_b:
             remain = deadline - time.perf_counter()
             if remain <= 0:
