@@ -33,10 +33,7 @@ def _cmd_reconstruct(args) -> int:
     out_dir = args.out or args.path
 
     def load_or_synth(kind, n_joints):
-        p = params_lib.default_model_path(kind)
-        if p:
-            return params_lib.load(p)
-        return params_lib.synthetic(n_joints=n_joints, n_verts=6890, seed=0)
+        return params_lib.load_or_synthetic(kind, n_joints=n_joints)
 
     timer = StageTimer()
     rec.reconstruct(front, back, mask, fit,
@@ -80,9 +77,11 @@ def _cmd_infer(args) -> int:
     """Images -> HMR -> SMPL meshes (OBJ/PLY per image) — the flagship
     batched-inference path (pipelines/hmr_infer.py) from the CLI."""
     from tpubody.mesh import meshio
+    from tpubody.models import params as params_lib
     from tpubody.pipelines import hmr_infer
 
-    predictor = hmr_infer.HMRPredictor()
+    smpl = params_lib.load(args.smpl) if args.smpl else None
+    predictor = hmr_infer.HMRPredictor(smpl_model=smpl)
     if args.torch_ckpt:
         predictor.load_torch_checkpoint(args.torch_ckpt)
     result = predictor.from_files(args.images)
@@ -269,6 +268,10 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=("obj", "ply"), default="obj")
     p.add_argument("--torch-ckpt", default=None,
                    help="reference torch HMR checkpoint to convert")
+    p.add_argument("--smpl", default=None,
+                   help="SMPL model file (pkl/npz); defaults to the "
+                        "conventional asset spots / TPUBODY_SMPL_PATH, "
+                        "then a synthetic stand-in with a warning")
     p.set_defaults(fn=_cmd_infer)
 
     p = sub.add_parser("train-hmr",

@@ -274,3 +274,27 @@ def default_model_path(kind: str = "smpl") -> Optional[str]:
         if c and os.path.exists(c):
             return c
     return None
+
+
+def load_or_synthetic(kind: str = "smpl", n_joints: int = 24,
+                      n_verts: int = 6890, seed: int = 0,
+                      warn: bool = True) -> BodyModelParams:
+    """Resolve a real body model (conventional asset spots /
+    TPUBODY_*_PATH env), falling back to a synthetic stand-in with a
+    loud warning: meshes built on the synthetic template have valid
+    shapes but are geometrically meaningless stand-ins."""
+    # Only a full-size request can be satisfied by a real asset; smaller
+    # n_verts (tests, benches) always means a synthetic model.
+    path = default_model_path(kind) if n_verts == SMPL_NUM_VERTS else None
+    if path:
+        return load(path)
+    if warn:
+        import sys
+
+        print(
+            f"WARNING: no real {kind.upper()} model found "
+            f"(set TPUBODY_{kind.upper()}_PATH or install "
+            f"tpubody/models/assets/{kind}_neutral.npz); using a SYNTHETIC "
+            f"body — exported meshes are placeholders, not real bodies.",
+            file=sys.stderr)
+    return synthetic(n_joints=n_joints, n_verts=n_verts, seed=seed)

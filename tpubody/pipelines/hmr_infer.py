@@ -38,9 +38,17 @@ class HMRPredictor:
                  focal_length: float = 5000.0,
                  img_size: int = 224):
         self.model, default_vars = hmr_lib.create_hmr(dtype=dtype)
-        self.variables = variables if variables is not None else default_vars
-        self.smpl = smpl_model or params_lib.synthetic(
-            n_joints=24, n_verts=6890, seed=0)
+        if variables is None:
+            import sys
+            print("WARNING: HMR running with RANDOM-INIT weights — load "
+                  "a checkpoint (load_torch_checkpoint / restore) for "
+                  "meaningful predictions.", file=sys.stderr)
+            variables = default_vars
+        self.variables = variables
+        # Prefer a real SMPL model over the synthetic stand-in so exported
+        # meshes use real template/skinning (warns on fallback).
+        self.smpl = smpl_model or params_lib.load_or_synthetic(
+            "smpl", n_joints=24, n_verts=6890, seed=0)
         self.focal_length = focal_length
         self.img_size = img_size
 
