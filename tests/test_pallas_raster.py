@@ -6,6 +6,7 @@ face-id match at 1024^2, ~60 fps at batch 32 vs 1.7 fps for the fragment
 path at window 48).
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tpubody.render import raster as R
@@ -81,6 +82,25 @@ class TestZbufferTiled:
                                  jnp.asarray(faces), 64, 128,
                                  max_chunks=1, interpret=True)
         assert int(ov) > 0
+
+    def test_rasterize_tiled_surfaces_overflow(self):
+        """rasterize_tiled must not silently drop overflowed bins: it
+        warns eagerly and hands back the count with return_overflow."""
+        rng = np.random.default_rng(3)
+        V = 600
+        verts = np.stack([rng.uniform(4, 100, V), rng.uniform(1, 6, V),
+                          rng.uniform(1, 2, V)], 1).astype(np.float32)
+        faces = np.arange(600).reshape(200, 3).astype(np.int32)
+        attrs = np.ones((V, 3), np.float32)
+        vj, fj, aj = (jnp.asarray(verts), jnp.asarray(faces),
+                      jnp.asarray(attrs))
+        with pytest.warns(RuntimeWarning, match="overflowed"):
+            PR.rasterize_tiled(vj, fj, aj, 64, 128, max_chunks=1,
+                               interpret=True)
+        out, ov = PR.rasterize_tiled(vj, fj, aj, 64, 128, max_chunks=1,
+                                     interpret=True, return_overflow=True)
+        assert int(ov) > 0
+        assert np.isfinite(np.asarray(out.attrs)).all()
 
 
 class TestFusedRender:

@@ -335,14 +335,21 @@ def rasterize_tiled(
     cull_backface: bool = False,
     depth_ascending: bool = True,
     interpret: bool = None,
-) -> raster_lib.RasterOutput:
+    return_overflow: bool = False,
+):
     """Drop-in tiled replacement for raster.rasterize (single frame or a
     batched leading axis).  Faces wider than the span budget should be
     routed through raster.rasterize + merge_rasters by the caller (the
-    video path does — render/video.py)."""
+    video path does — render/video.py).
+
+    Per-tile face capacity is ``max_chunks * 128``; bins past that are
+    DROPPED (missing geometry).  With ``return_overflow`` the dropped
+    face-tile count is returned as ``(out, overflow)``; otherwise an
+    overflow triggers a RuntimeWarning when running eagerly (no silent
+    caps — raise max_chunks or route through raster.rasterize)."""
     squeeze = verts.ndim == 2
     v = verts[None] if squeeze else verts
-    zbuf, _ = zbuffer_tiled(
+    zbuf, overflow = zbuffer_tiled(
         v, faces, height, width, max_chunks, span_x, span_y,
         cull_backface, depth_ascending, interpret)
     out = jax.vmap(
@@ -352,6 +359,19 @@ def rasterize_tiled(
     )(v, zbuf)
     if squeeze:
         out = jax.tree.map(lambda x: x[0], out)
+    if return_overflow:
+        return out, overflow
+    if not isinstance(overflow, jax.core.Tracer):
+        n = int(overflow)
+        if n:
+            import warnings
+
+            warnings.warn(
+                f"rasterize_tiled: {n} face-tile bins overflowed the "
+                f"max_chunks={max_chunks} capacity and were dropped — "
+                f"raise max_chunks or rasterize oversized faces via "
+                f"raster.rasterize + merge_rasters.", RuntimeWarning,
+                stacklevel=2)
     return out
 
 
