@@ -220,3 +220,49 @@ def test_clip_drives_lbs_forward():
         np.zeros(10, np.float32), None)
     assert verts.shape == (2, 128, 3)
     assert np.all(np.isfinite(np.asarray(verts)))
+
+
+class TestChannelMapping:
+    def test_dof_without_limits_parses_channels(self):
+        """A bone declaring dof but no limits (legal ASF) must still map
+        its AMC values onto the declared axes."""
+        asf = SAMPLE_ASF.replace(
+            "    dof rx\n    limits (-10.0 170.0)\n", "    dof rx rz\n")
+        skel = asf_lib.parse_asf(asf)
+        amc = asf_lib.parse_amc(SAMPLE_AMC.replace(
+            "ltibia 30.0", "ltibia 30.0 15.0").replace(
+            "ltibia 35.0", "ltibia 35.0 17.0"))
+        angles, _ = asf_lib._frame_angles(skel, amc)
+        bi = skel.name_to_index["ltibia"]
+        np.testing.assert_allclose(
+            angles[0, bi], np.deg2rad([30.0, 0.0, 15.0]), atol=1e-12)
+
+    def test_root_order_honored(self):
+        """Non-standard :root order permutes the AMC root channels."""
+        asf = SAMPLE_ASF.replace("order TX TY TZ RX RY RZ",
+                                 "order RZ RY RX TZ TY TX")
+        skel = asf_lib.parse_asf(asf)
+        amc = asf_lib.parse_amc(SAMPLE_AMC)
+        angles, root_t = asf_lib._frame_angles(skel, amc)
+        # frame 0 root values: 1.0 16.0 -2.0 10.0 -5.0 3.0
+        np.testing.assert_allclose(root_t[0], [3.0, -5.0, 10.0])
+        np.testing.assert_allclose(
+            angles[0, 0], np.deg2rad([-2.0, 16.0, 1.0]), atol=1e-12)
+
+    def test_unsupported_root_order_raises(self):
+        asf = SAMPLE_ASF.replace("order TX TY TZ RX RY RZ",
+                                 "order TX TY TZ RX RY L")
+        with pytest.raises(ValueError, match="root order"):
+            asf_lib.parse_asf(asf)
+
+    def test_radians_amc_not_converted(self):
+        amc_rad = SAMPLE_AMC.replace(":DEGREES", ":RADIANS")
+        skel = asf_lib.parse_asf(SAMPLE_ASF)
+        deg = asf_lib.parse_amc(SAMPLE_AMC)
+        rad = asf_lib.parse_amc(amc_rad)
+        assert deg.degrees and not rad.degrees
+        a_deg, _ = asf_lib._frame_angles(skel, deg)
+        a_rad, _ = asf_lib._frame_angles(skel, rad)
+        bi = skel.name_to_index["lfemur"]
+        np.testing.assert_allclose(a_deg[0, bi],
+                                   np.deg2rad(a_rad[0, bi]), atol=1e-12)

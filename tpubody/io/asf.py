@@ -67,6 +67,8 @@ class ASFSkeleton:
     bones: List[ASFBone]           # bones[0] is root, topologically ordered
     name_to_index: Dict[str, int]
     length_scale: float = CMU_LENGTH_SCALE
+    # Channel order of the root's AMC values (":root order" line).
+    root_order: Tuple[str, ...] = ("tx", "ty", "tz", "rx", "ry", "rz")
 
     def index(self, name: str) -> int:
         return self.name_to_index[name]
@@ -220,14 +222,31 @@ def parse_asf(text: str) -> ASFSkeleton:
     for b in bones:
         b.parent = remap[b.parent] if b.parent >= 0 else -1
     name_to_index = {b.name: i for i, b in enumerate(bones)}
-    return ASFSkeleton(bones=bones, name_to_index=name_to_index)
+    bad = [ch for ch in root_order
+           if ch not in ("tx", "ty", "tz", "rx", "ry", "rz")]
+    if bad:
+        raise ValueError(f"unsupported :root order channels {bad}")
+    return ASFSkeleton(bones=bones, name_to_index=name_to_index,
+                       root_order=root_order)
 
 
-def parse_amc(text: str, degrees: Optional[bool] = None
-              ) -> List[Dict[str, np.ndarray]]:
+class AMCMotion(list):
+    """Per-frame ``{bone: values}`` dicts plus the file's angle unit.
+
+    A plain ``list`` subclass so existing callers that treat the result as
+    a frame sequence keep working; ``degrees`` records the ``:degrees`` /
+    ``:radians`` header so FK honors the declared unit."""
+
+    def __init__(self, frames=(), degrees: bool = True):
+        super().__init__(frames)
+        self.degrees = degrees
+
+
+def parse_amc(text: str, degrees: Optional[bool] = None) -> AMCMotion:
     """Parse an AMC motion file into per-frame {bone: values} dicts
     (the ``motion`` argument of the reference's ``Joint.set_motion``,
-    utils/skeleton.py:112-132)."""
+    utils/skeleton.py:112-132).  ``degrees=None`` reads the unit from the
+    file header (``:degrees`` default)."""
     frames: List[Dict[str, np.ndarray]] = []
     cur: Optional[Dict[str, np.ndarray]] = None
     for raw in text.splitlines():
@@ -238,6 +257,8 @@ def parse_amc(text: str, degrees: Optional[bool] = None
             flag = line[1:].lower()
             if degrees is None and flag.startswith("degrees"):
                 degrees = True
+            elif degrees is None and flag.startswith("radians"):
+                degrees = False
             continue
         parts = line.split()
         if len(parts) == 1 and parts[0].isdigit():
@@ -245,33 +266,42 @@ def parse_amc(text: str, degrees: Optional[bool] = None
             frames.append(cur)
         elif cur is not None:
             cur[parts[0]] = np.asarray([float(x) for x in parts[1:]])
-    return frames
+    return AMCMotion(frames, degrees=True if degrees is None else degrees)
 
 
 def _frame_angles(skel: ASFSkeleton,
                   frames: Sequence[Dict[str, np.ndarray]]
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Stack AMC frames into dense arrays: per-bone Euler angles
-    (F, B, 3) in radians (dof-expanded like the reference's per-axis limit
-    scan, utils/skeleton.py:120-126) and root translation (F, 3)."""
+    (F, B, 3) in radians and root translation (F, 3).
+
+    Root channels are assigned per the skeleton's ``:root order`` line and
+    non-root channels per each bone's parsed ``dof`` tuple (a bone may
+    declare dof without limits — legal ASF — so dof, not nonzero limits,
+    is authoritative).  Angles convert from degrees only when the AMC
+    declared degrees (AMCMotion.degrees)."""
     F, B = len(frames), len(skel.bones)
     angles = np.zeros((F, B, 3))
     root_t = np.zeros((F, 3))
+    axis_of = {"rx": 0, "ry": 1, "rz": 2}
     for f, frame in enumerate(frames):
         for bi, bone in enumerate(skel.bones):
             vals = frame.get(bone.name)
             if vals is None:
                 continue
             if bone.name == "root":
-                root_t[f] = vals[:3]
-                angles[f, bi] = vals[3:6]
+                for k, ch in enumerate(skel.root_order[:len(vals)]):
+                    if ch[0] == "t":
+                        root_t[f, "xyz".index(ch[1])] = vals[k]
+                    else:
+                        angles[f, bi, axis_of[ch]] = vals[k]
             else:
-                idx = 0
-                for axis in range(3):
-                    if not np.array_equal(bone.limits[axis], np.zeros(2)):
-                        angles[f, bi, axis] = vals[idx]
-                        idx += 1
-    return np.deg2rad(angles), root_t
+                for k, d in enumerate(bone.dof[:len(vals)]):
+                    if d in axis_of:
+                        angles[f, bi, axis_of[d]] = vals[k]
+    if getattr(frames, "degrees", True):
+        angles = np.deg2rad(angles)
+    return angles, root_t
 
 
 def fk(skel: ASFSkeleton, frames: Sequence[Dict[str, np.ndarray]]
