@@ -104,6 +104,22 @@ def _cmd_infer(args) -> int:
     return 0
 
 
+def _cmd_train_pose2d(args) -> int:
+    """Renderer-supervised pose2d training (pipelines/pose_train.py);
+    saves a checkpoint consumable by detect-pose --ckpt."""
+    from tpubody.pipelines import pose_train
+    from tpubody.utils import checkpoint as ckpt_lib
+
+    res = pose_train.train_pose2d_synthetic(
+        steps=args.steps, batch=args.batch, size=args.size,
+        features=args.features, lr=args.lr)
+    ckpt_lib.save_pytree(args.out, res.params)
+    print(f"pixel err: {res.pixel_err_before:.2f} -> "
+          f"{res.pixel_err_after:.2f} px over {args.steps} steps")
+    print(f"wrote checkpoint to {args.out}")
+    return 0
+
+
 def _cmd_train_hmr(args) -> int:
     """Train HMR with the input pipeline; saves an orbax checkpoint.
 
@@ -182,6 +198,12 @@ def _cmd_detect_pose(args) -> int:
     if args.ckpt:
         from tpubody.utils import checkpoint as ckpt_lib
         variables = ckpt_lib.restore_pytree(args.ckpt, variables)
+    else:
+        import sys
+        print("WARNING: detect-pose is EXPERIMENTAL and running with "
+              "untrained weights — keypoints will not be usable for "
+              "fitting; train with `train-pose2d` and pass --ckpt.",
+              file=sys.stderr)
     out = pose2d.detect(model, variables,
                         jnp.asarray(inp[None] / 255.0, jnp.float32))
     kp = np.asarray(out.keypoints[0], np.float64)
@@ -252,7 +274,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser(
         "detect-pose",
-        help="detect 2D keypoints -> OpenPose-format JSON (lib/openpose.py)")
+        help="[EXPERIMENTAL] detect 2D keypoints -> OpenPose-format JSON "
+             "(lib/openpose.py); without a trained --ckpt the detector is "
+             "untrained and its keypoints are not usable for fitting")
     p.add_argument("img")
     p.add_argument("out", help="output keypoints .json")
     p.add_argument("--size", type=int, default=256,
@@ -273,6 +297,18 @@ def main(argv=None) -> int:
                         "conventional asset spots / TPUBODY_SMPL_PATH, "
                         "then a synthetic stand-in with a warning")
     p.set_defaults(fn=_cmd_infer)
+
+    p = sub.add_parser(
+        "train-pose2d",
+        help="[EXPERIMENTAL] train the 2D keypoint detector on rendered "
+             "synthetic bodies; saves an orbax checkpoint for detect-pose")
+    p.add_argument("--out", required=True, help="checkpoint output dir")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--features", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.set_defaults(fn=_cmd_train_pose2d)
 
     p = sub.add_parser("train-hmr",
                        help="train HMR (keypoint + SMPL supervision)")
