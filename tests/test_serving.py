@@ -158,3 +158,33 @@ class TestBacklogBatching:
         # 16 backlogged requests at bucket cap 8 need only 2-3 batches;
         # the old deadline-only policy dispatched 16 batches of 1.
         assert snap["batches"] <= 4, snap
+
+
+class TestBucketRecompiles:
+    def test_mixed_load_traces_once_per_bucket(self):
+        """Mixed batch sizes over time must only ever compile one program
+        per bucket shape — the bucket design's whole point (the stated
+        recompile risk of pipelines/serving.py)."""
+        traces = []
+
+        def counting_step(images):
+            traces.append(images.shape)   # runs once per trace/shape
+            return images * 2.0, jnp.sum(images, axis=(1, 2, 3))
+
+        s = serving.InferenceServer(
+            counting_step, image_shape=SHAPE, buckets=(1, 2, 4),
+            max_delay_ms=5.0)
+        rng = np.random.default_rng(7)
+        with s:
+            # waves of 1, 3, 4, 2, 5 concurrent requests
+            for wave in (1, 3, 4, 2, 5):
+                imgs = [rng.normal(size=SHAPE).astype(np.float32)
+                        for _ in range(wave)]
+                futs = [s.submit(im) for im in imgs]
+                for im, f in zip(imgs, futs):
+                    doubled, _ = f.result(timeout=60)
+                    np.testing.assert_allclose(doubled, im * 2.0,
+                                               rtol=1e-6)
+        shapes = {t[0] for t in traces}
+        assert shapes <= {1, 2, 4}, shapes          # only bucket shapes
+        assert len(traces) <= 3, traces             # one trace per bucket
