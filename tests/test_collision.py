@@ -100,3 +100,27 @@ def test_fit_with_interpenetration_runs():
     out = smplify.fit_frame(model, kps, center, cfg)
     assert np.isfinite(out.loss)
     assert np.all(np.isfinite(out.pose))
+
+
+def test_folded_limb_increases_penetration():
+    """Pose-induced interpenetration: folding a deep limb back onto its
+    ancestors' region must raise the proxy penalty above rest pose — the
+    behavior the reference's BVH collision term exists to reject
+    (lib/Gen_SMPLH/fitting.py:404-425)."""
+    model = params_lib.synthetic(n_joints=24, n_verts=512, seed=0)
+    proxy = _proxy(model)
+    rest = smpl_lib.forward(model, jnp.zeros((24, 3)), jnp.zeros(10))
+    l_rest = float(collision.penetration_loss(rest.verts, proxy))
+
+    # Fold every deep joint (far from the root chain) by ~pi: subtrees
+    # sweep back through the body volume.
+    parents = np.asarray(model.parents)
+    depth = np.zeros(24, int)
+    for i in range(1, 24):
+        depth[i] = depth[parents[i]] + 1
+    pose = np.zeros((24, 3))
+    pose[depth >= 2] = [0.0, 0.0, np.pi * 0.9]
+    folded = smpl_lib.forward(model, jnp.asarray(pose, jnp.float32),
+                              jnp.zeros(10))
+    l_folded = float(collision.penetration_loss(folded.verts, proxy))
+    assert l_folded > l_rest * 1.5 + 1e-6, (l_rest, l_folded)
