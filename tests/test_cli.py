@@ -80,6 +80,7 @@ def test_cli_detect_pose(tmp_path):
     assert np.isfinite(kp.keypoints).all()
 
 
+@pytest.mark.slow
 def test_cli_train_hmr_synthetic(tmp_path):
     """train-hmr runs end to end on synthetic data and saves a restorable
     checkpoint."""
@@ -102,6 +103,7 @@ def test_cli_train_hmr_synthetic(tmp_path):
     assert int(restored.step) == 2
 
 
+@pytest.mark.slow
 def test_cli_infer(tmp_path):
     """infer writes one mesh per image + params.npz (flagship path)."""
     import cv2

@@ -1,5 +1,6 @@
 """Self-interpenetration penalty (reference fitting.py:426-442 capability)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,7 @@ class TestLoss:
         assert float(near) > float(far)
 
 
+@pytest.mark.slow
 def test_fit_with_interpenetration_runs():
     """fit_frame with the collision term enabled stays finite."""
     from tpubody.fit import smplify

@@ -101,6 +101,7 @@ class TestLoader:
         # device data is consumable by a jitted reduction
         assert np.isfinite(float(jnp.mean(b.images)))
 
+    @pytest.mark.slow
     def test_device_loader_feeds_train_step(self):
         """End-to-end: loader batches drive the sharded HMR train step."""
         import optax

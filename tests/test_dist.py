@@ -80,6 +80,7 @@ class TestShardedLBS:
             smpl_lib.forward_batch(model, poses, beta, None).verts))
         assert abs(got - want) < 1e-5
 
+    @pytest.mark.slow
     def test_graft_dryrun_smoke(self):
         """The driver's multichip dry run must pass on the CPU mesh."""
         import importlib.util, sys, os

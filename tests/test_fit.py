@@ -222,6 +222,7 @@ class TestSmplify:
 
 
 class TestPCAHands:
+    @pytest.mark.slow
     def test_pca_hand_fit_param_sizes(self):
         """With hand PCA bases, the fit optimizes num_pca_comps coeffs and
         still exports a full 156-dim pose."""
@@ -255,6 +256,7 @@ class TestPCAHands:
 
 
 class TestOrientationFlip:
+    @pytest.mark.slow
     def test_try_both_orient_runs_and_picks_best(self):
         """try_both_orient evaluates the 180-degree flip and returns finite
         results (fit_single_frame.py:337-356 parity)."""
@@ -298,6 +300,7 @@ class TestOptimizerFactory:
 
 
 class TestSmplifyOptimType:
+    @pytest.mark.slow
     def test_fit_frame_with_adam(self):
         """optim_type from config drives the stage optimizer
         (smpl_config.py:247, optim_factory.py parity)."""
@@ -345,6 +348,7 @@ class TestBodyPriorTypes:
     """body_prior_type selects the pose prior in the non-VPoser body loss
     (reference prior.py:36-50 create_prior + fitting.py:385-388)."""
 
+    @pytest.mark.slow
     def test_fit_frame_without_vposer_l2(self):
         model, kps, proj, center, focal, _ = _synth_keypoint_problem()
         cfg = smplify.FitConfig(

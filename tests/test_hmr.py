@@ -9,13 +9,16 @@ from tpubody.models import hmr as hmr_lib
 @pytest.fixture(scope="module")
 def small_images():
     rng = np.random.default_rng(0)
-    return jnp.asarray(rng.normal(size=(2, 224, 224, 3)), jnp.float32)
+    # 64^2 keeps the ResNet compile cheap on the 1-core CPU test mesh;
+    # HMR is fully convolutional, so shapes/semantics are size-free
+    # (224^2 deployment is exercised by bench.py and the slow set).
+    return jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
 
 
 @pytest.fixture(scope="module")
 def model_and_vars():
     # fp32 on CPU test mesh; bf16 is the TPU deployment dtype.
-    return hmr_lib.create_hmr(dtype=jnp.float32)
+    return hmr_lib.create_hmr(dtype=jnp.float32, image_size=64)
 
 
 def test_forward_shapes(model_and_vars, small_images):
@@ -109,13 +112,14 @@ def test_torch_state_dict_conversion():
                   for p, v in jax.tree_util.tree_leaves_with_path(converted)}
     assert ref_shapes == got_shapes
     # And the converted weights actually run.
-    out = model.apply(converted, jnp.zeros((1, 224, 224, 3)))
+    out = model.apply(converted, jnp.zeros((1, 64, 64, 3)))
     assert np.isfinite(np.asarray(out.shape)).all()
 
 
 class TestStem:
     """The s2d (space-to-depth) stem is numerically the conv7 stem."""
 
+    @pytest.mark.slow
     def test_stems_agree(self):
         from tpubody.models.hmr import ResNet50
         rng = np.random.default_rng(3)
@@ -128,6 +132,7 @@ class TestStem:
         np.testing.assert_allclose(np.asarray(ys), np.asarray(y7),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_odd_input_falls_back(self):
         from tpubody.models.hmr import ResNet50
         x = jnp.zeros((1, 63, 63, 3), jnp.float32)

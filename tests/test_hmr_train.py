@@ -31,6 +31,7 @@ def _batch(B=2, size=64, seed=0):
         gt_shape=jnp.zeros((B, 10)))
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(setup):
     model, smpl, tx, state = setup
     step = jax.jit(hmr_train.make_train_step(model, smpl, tx,
@@ -45,6 +46,7 @@ def test_train_step_decreases_loss(setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_metrics_structure(setup):
     model, smpl, tx, state = setup
     step = jax.jit(hmr_train.make_train_step(model, smpl, tx, img_size=64.0))
@@ -53,6 +55,7 @@ def test_metrics_structure(setup):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_no_smpl_supervision_masks_param_losses(setup):
     model, smpl, tx, state = setup
     step = jax.jit(hmr_train.make_train_step(model, smpl, tx, img_size=64.0))

@@ -56,6 +56,7 @@ class TestDraw:
 
 
 class TestHMRPipeline:
+    @pytest.mark.slow
     def test_predictor_runs(self):
         import jax
         from tpubody.pipelines import hmr_infer
@@ -73,6 +74,7 @@ class TestHMRPipeline:
         # tz positive (in front of the camera).
         assert (np.asarray(out.cam_t)[:, 2] > 0).all()
 
+    @pytest.mark.slow
     def test_from_files(self, tmp_path):
         import cv2
         from tpubody.pipelines import hmr_infer

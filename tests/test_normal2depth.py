@@ -62,6 +62,7 @@ def test_laplacian_matches_oracle_assembly():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_integrate_recovers_sphere():
     normals, mask, depth_gt = _sphere_cap()
     got = np.asarray(n2d.integrate(
@@ -93,6 +94,7 @@ def test_matches_scipy_oracle():
     assert err < 5e-2, f"max err vs scipy oracle {err}"
 
 
+@pytest.mark.slow
 def test_front_back_batched():
     normals, mask, _ = _sphere_cap(H=24, W=20, r=9.0)
     n6 = np.concatenate([normals, normals * np.array([1, 1, -1])], axis=-1)
@@ -104,6 +106,7 @@ def test_front_back_batched():
     assert (np.asarray(f)[~mask] == 0).all()
 
 
+@pytest.mark.slow
 def test_align_back_depth_shifts_to_front_frame():
     normals, mask, _ = _sphere_cap(H=30, W=30, r=12.0)
     front = np.asarray(n2d.integrate(
@@ -175,6 +178,7 @@ class TestMultigrid:
         assert float(jnp.sum(r1 * M(r1))) > 0
         assert float(jnp.sum(r2 * M(r2))) > 0
 
+    @pytest.mark.slow
     def test_mg_beats_jacobi_iterations(self):
         H, W = 64, 64
         rng = np.random.default_rng(1)
@@ -189,6 +193,7 @@ class TestMultigrid:
         zm = np.asarray(zm); zt = np.asarray(z_true)
         np.testing.assert_allclose(zm - zm.mean(), zt - zt.mean(), atol=1e-3)
 
+    @pytest.mark.slow
     def test_pcg_noise_floor_guard(self):
         """Requesting an unreachable f32 tolerance must NOT blow up the
         solution (CG past the rounding floor diverges without the best-

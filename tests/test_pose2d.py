@@ -43,12 +43,13 @@ class TestSoftArgmax:
 
 class TestModel:
     def test_forward_shapes(self):
-        model, vs = pose2d.create_pose2d(features=16, image_size=64)
+        model, vs = pose2d.create_pose2d(features=8, image_size=32)
         out = pose2d.detect(model, vs,
-                            jnp.zeros((2, 64, 64, 3), jnp.float32))
+                            jnp.zeros((2, 32, 32, 3), jnp.float32))
         assert out.keypoints.shape == (2, 67, 3)
-        assert out.heatmaps.shape == (2, 16, 16, 67)
+        assert out.heatmaps.shape == (2, 8, 8, 67)
 
+    @pytest.mark.slow
     def test_overfits_single_example(self):
         """A few steps on one image moves predictions toward the target —
         the training loop is wired correctly end to end."""

@@ -1,4 +1,5 @@
 """Synthetic pose-detector training: renderer-aligned labels + learning."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ class TestProjection:
 
 
 class TestTraining:
+    @pytest.mark.slow
     def test_detector_improves_on_synthetic(self):
         """A short run reduces mean pixel error on a held-out batch."""
         res = pose_train.train_pose2d_synthetic(

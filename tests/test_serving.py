@@ -86,6 +86,7 @@ class TestServer:
                 f.result(timeout=30)
 
 
+@pytest.mark.slow
 def test_hmr_smpl_step_builds_and_runs():
     step = serving.hmr_smpl_step(dtype=jnp.float32, n_verts=64)
     out = jax.jit(step)(jnp.zeros((2, 224, 224, 3), jnp.float32))

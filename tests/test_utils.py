@@ -79,6 +79,7 @@ class TestStageTimer:
 
 
 class TestCLIMain:
+    @pytest.mark.slow
     def test_animate_command(self, tmp_path):
         from tests.test_animate import _sphere_avatar
         from tpubody.io import motion as motion_lib
@@ -106,6 +107,7 @@ class TestCheckpoint:
         np.testing.assert_array_equal(back["a"], tree["a"])
         np.testing.assert_array_equal(back["b"]["c"], tree["b"]["c"])
 
+    @pytest.mark.slow
     def test_train_state_roundtrip(self, tmp_path):
         import jax.numpy as jnp
         import optax

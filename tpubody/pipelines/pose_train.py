@@ -99,7 +99,6 @@ def train_pose2d_synthetic(
         n_keypoints=body.num_joints, features=features, image_size=size)
     tx = optax.adam(lr)
     opt_state = tx.init(variables)
-    step_fn = jax.jit(pose2d.make_train_step(model, tx))
     synth_fn = jax.jit(synth, static_argnums=1)
     detect_fn = jax.jit(
         lambda p, im: pose2d.detect(model, p, im).keypoints)
@@ -116,14 +115,35 @@ def train_pose2d_synthetic(
     eval_batch = synth_fn(eval_key, batch)
     err0 = pixel_err(variables, eval_batch)
 
+    # TPU-first: the whole training run (synthesize -> step, x chunk) is
+    # ONE compiled program via lax.scan — no per-step host dispatch, so
+    # throughput is device-bound even through a high-latency tunnel.
+    def scan_body(carry, k):
+        params, opt_state = carry
+        data = synth(k, batch)
+        params, opt_state, loss = pose2d.make_train_step(model, tx)(
+            params, opt_state, data.images, data.keypoints)
+        return (params, opt_state), loss
+
+    chunk = min(steps, 100)
+
+    @jax.jit
+    def run_chunk(params, opt_state, keys):
+        return jax.lax.scan(scan_body, (params, opt_state), keys)
+
     params = variables
     losses = []
-    for i in range(steps):
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
         key, k = jax.random.split(key)
-        data = synth_fn(k, batch)
-        params, opt_state, loss = step_fn(
-            params, opt_state, data.images, data.keypoints)
-        losses.append(float(loss))
+        keys = jax.random.split(k, chunk)  # fixed length: one compile
+        (params, opt_state), chunk_losses = run_chunk(
+            params, opt_state, keys)
+        losses.extend(np.asarray(chunk_losses[:n]).tolist())
+        # Chunks are fixed-length for a single compile; the final chunk
+        # may run up to chunk-1 extra (unrecorded) steps.
+        done += chunk
     err1 = pixel_err(params, eval_batch)
     return PoseTrainResult(model=model, params=params,
                            losses=np.asarray(losses),
