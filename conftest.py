@@ -25,15 +25,18 @@ _TESTS_SINCE_CLEAR = {"n": 0}
 
 
 @pytest.fixture(autouse=True)
-def _periodic_jax_cache_clear():
+def _periodic_jax_cache_clear(request):
     """Clear jax's compiled-executable caches every N tests.
 
     A full-suite run accumulates hundreds of compiled CPU executables in
     one process; late-in-suite XLA:CPU compilations have been observed to
     segfault once that state grows (the same test passes standalone and in
     any smaller grouping).  Bounding the cache keeps the suite robust at
-    the cost of a few recompiles."""
+    the cost of a few recompiles.  Slow-marked tests compile the biggest
+    programs (full fits, train steps), so each one gets its own clear —
+    a `-m slow` run otherwise segfaults mid-suite."""
     yield
     _TESTS_SINCE_CLEAR["n"] += 1
-    if _TESTS_SINCE_CLEAR["n"] % 40 == 0:
+    if (request.node.get_closest_marker("slow") is not None
+            or _TESTS_SINCE_CLEAR["n"] % 40 == 0):
         jax.clear_caches()
