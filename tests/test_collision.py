@@ -78,7 +78,8 @@ class TestLoss:
 
 
 @pytest.mark.slow
-def test_fit_with_interpenetration_runs():
+@pytest.mark.parametrize("mode", ["sphere", "mesh"])
+def test_fit_with_interpenetration_runs(mode):
     """fit_frame with the collision term enabled stays finite."""
     from tpubody.fit import smplify
 
@@ -95,6 +96,7 @@ def test_fit_with_interpenetration_runs():
     cfg = smplify.FitConfig(
         focal_length=500.0, maxiters=3, use_vposer=True,
         interpenetration=True, coll_n_samples=128,
+        coll_mode=mode, coll_n_faces=128,
         coll_loss_weights=(1.0,) * 5,
         data_weights=(1.0,), body_pose_prior_weights=(4.78,),
         shape_weights=(5.0,), hand_pose_prior_weights=(4.78,),
@@ -102,6 +104,80 @@ def test_fit_with_interpenetration_runs():
     out = smplify.fit_frame(model, kps, center, cfg)
     assert np.isfinite(out.loss)
     assert np.all(np.isfinite(out.pose))
+
+
+class TestMeshCollision:
+    """Dense cone-distance-field term (fit.mesh_collision) — the
+    TPU-native equivalent of the reference's BVH + distance-field penalty
+    (lib/Gen_SMPLH/fitting.py:404-442)."""
+
+    def _mproxy(self, model, n_faces=256, n_verts=256, cone_scale=2.0):
+        from tpubody.fit import mesh_collision
+        return mesh_collision.build_mesh_collision(
+            np.asarray(model.v_template), np.asarray(model.faces),
+            np.asarray(model.weights), np.asarray(model.parents),
+            n_faces=n_faces, n_verts=n_verts, cone_scale=cone_scale)
+
+    def test_rest_pose_is_penalty_free(self):
+        from tpubody.fit import mesh_collision
+        model = params_lib.synthetic(n_joints=24, n_verts=512, seed=0)
+        proxy = self._mproxy(model)
+        loss = mesh_collision.mesh_penetration_loss(
+            jnp.asarray(model.v_template), proxy)
+        assert float(loss) == 0.0
+
+    def test_vertex_never_tested_against_own_face(self):
+        model = params_lib.synthetic(n_joints=24, n_verts=512, seed=0)
+        proxy = self._mproxy(model)
+        own = np.any(
+            proxy.face_vids[:, :, None] == proxy.vertex_idx[None, None],
+            axis=1)
+        assert not np.any(proxy.allowed & own)
+
+    def test_folded_limb_penalized_and_differentiable(self):
+        from tpubody.fit import mesh_collision
+        model = params_lib.synthetic(n_joints=24, n_verts=512, seed=0)
+        proxy = self._mproxy(model)
+        parents = np.asarray(model.parents)
+        depth = np.zeros(24, int)
+        for i in range(1, 24):
+            depth[i] = depth[parents[i]] + 1
+        pose = np.zeros((24, 3))
+        pose[depth >= 2] = [0.0, 0.0, np.pi * 0.9]
+
+        def loss_at(p):
+            state = smpl_lib.forward(model, p, jnp.zeros(10))
+            return mesh_collision.mesh_penetration_loss(state.verts, proxy)
+
+        l_folded = loss_at(jnp.asarray(pose, jnp.float32))
+        assert float(l_folded) > 0.0
+        g = jax.grad(loss_at)(jnp.asarray(pose, jnp.float32))
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.linalg.norm(g)) > 0.0
+
+    def test_loss_decreases_as_bodies_separate(self):
+        from tpubody.fit import mesh_collision
+        model = params_lib.synthetic(n_joints=24, n_verts=512, seed=0)
+        proxy = self._mproxy(model)
+        v = np.asarray(model.v_template)
+        # slam a duplicate of the body's far half into its near half by
+        # collapsing x: creates real face/vertex penetrations
+        squashed = v.copy()
+        squashed[:, 0] *= 0.05
+        near = mesh_collision.mesh_penetration_loss(
+            jnp.asarray(squashed, jnp.float32), proxy)
+        far = mesh_collision.mesh_penetration_loss(
+            jnp.asarray(v, jnp.float32), proxy)
+        assert float(near) > float(far)
+
+    def test_conf_yaml_selects_mesh_mode_and_maps_cone_height(self, tmp_path):
+        from tpubody.pipelines import gen_smplh
+        p = tmp_path / "conf.yaml"
+        p.write_text("interpenetration: true\ndf_cone_height: 0.25\n")
+        cfg = gen_smplh.load_config(str(p))
+        assert cfg.interpenetration
+        assert cfg.coll_mode == "mesh"
+        assert abs(cfg.coll_cone_scale - 1.0) < 1e-9
 
 
 def test_folded_limb_increases_penetration():

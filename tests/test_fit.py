@@ -359,13 +359,39 @@ class TestBodyPriorTypes:
         assert np.isfinite(out.pose).all()
 
     @pytest.mark.slow
-    def test_fit_frame_gmm_descends(self):
-        """A GMM-prior fit runs and beats the zero-pose reprojection."""
-        model, kps, proj, center, focal, cam_t = _synth_keypoint_problem()
+    def test_fit_frame_gmm_recovers_known_pose(self):
+        """A GMM-prior fit actually recovers a known body pose.
+
+        Same solvable round-trip problem as TestGroundTruthRecovery
+        (zero global orient / betas / hands, external camera estimate,
+        final low-prior polish stage) so the gate isolates the GMM prior
+        path rather than the limb-ratio camera heuristic on a random
+        synthetic body — verified: reproj ~0.6 px with the GMM prior."""
+        model = params_lib.synthetic(n_joints=52, n_verts=700, seed=1)
+        rng = np.random.default_rng(11)
+        body63_true = rng.normal(scale=0.25, size=63).astype(np.float32)
+        pose = jnp.concatenate(
+            [jnp.zeros(3), jnp.asarray(body63_true),
+             jnp.zeros(90)]).reshape(52, 3)
+        cam_t_true = jnp.asarray([0.05, -0.1, 6.0])
+        center = np.array([200.0, 200.0])
+        focal = 1500.0
+        state = smpl_lib.forward(model, pose, jnp.zeros(10))
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        proj = np.asarray(smplify._project(j3, cam_t_true, focal,
+                                           jnp.asarray(center)))
+        kps = np.concatenate([proj, np.ones((67, 1))], axis=1)
+
         cfg = smplify.FitConfig(
-            focal_length=focal, maxiters=12, use_vposer=False,
-            body_prior_type="gmm", side_view_thsh=0.0)
-        out = smplify.fit_frame(model, kps, center, cfg)
+            focal_length=focal, maxiters=60, side_view_thsh=0.0,
+            use_vposer=False, body_prior_type="gmm",
+            data_weights=(1.0,) * 6,
+            body_pose_prior_weights=(404.0, 404.0, 57.4, 4.78, 4.78, 0.05),
+            shape_weights=(100.0, 50.0, 10.0, 5.0, 5.0, 1.0),
+            hand_pose_prior_weights=(404.0, 404.0, 57.4, 4.78, 4.78, 0.5),
+            hand_joints_weights=(0.0, 0.0, 0.0, 0.1, 2.0, 2.0))
+        out = smplify.fit_frame(model, kps, center, cfg,
+                                init_cam_t=np.array([0.0, 0.0, 5.5]))
         assert np.isfinite(out.loss)
         fit_state = smpl_lib.forward(
             model, jnp.asarray(out.pose.reshape(52, 3), jnp.float32),
@@ -375,13 +401,10 @@ class TestBodyPriorTypes:
         fit_proj = np.asarray(smplify._project(
             jf, jnp.asarray(out.camera_translation, jnp.float32), focal,
             jnp.asarray(center)))
-        state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
-        j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed)
-        base = np.asarray(smplify._project(
-            j0, jnp.asarray(cam_t), focal, jnp.asarray(center)))
-        fit_err = np.linalg.norm(fit_proj - proj, axis=1).mean()
-        base_err = np.linalg.norm(base - proj, axis=1).mean()
-        assert fit_err < 0.5 * base_err, (fit_err, base_err)
+        reproj_err = np.linalg.norm(fit_proj - proj, axis=1).mean()
+        pose_err = np.abs(out.pose[3:66] - body63_true).mean()
+        assert reproj_err < 2.0, reproj_err
+        assert pose_err < 0.25, pose_err
 
     def test_gmm_prior_reachable_from_config(self):
         """The config path builds a GMM prior when selected (was

@@ -72,10 +72,17 @@ class FitConfig:
     hand_joints_weights: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.1, 2.0)
     bending_prior_scale: float = 3.17   # fit_single_frame.py:382-383
     # Self-collision term (fit_smplh.yaml:36,59-64 — off by default there
-    # too); see tpubody.fit.collision for the TPU-native sphere-proxy design.
+    # too).  "sphere" = fit.collision sphere proxy (cheap); "mesh" =
+    # fit.mesh_collision dense cone-distance-field term, the TPU-native
+    # equivalent of the reference's BVH + distance-field penalty
+    # (fitting.py:404-442).  coll_cone_scale is the df_cone_height analog
+    # (smpl_config.py:216-219), in triangle circumradii.
     interpenetration: bool = False
     coll_loss_weights: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.01, 1.0)
     coll_n_samples: int = 1024
+    coll_mode: str = "sphere"
+    coll_n_faces: int = 2048
+    coll_cone_scale: float = 2.0
 
 
 class FitOutput(NamedTuple):
@@ -277,12 +284,24 @@ def fit_frame(
         orients.append(np.asarray(
             rotmat_to_axis_angle(jnp.asarray(R0 @ Rflip))))
 
-    coll_proxy = None
+    coll_fn = None
     if config.interpenetration:
-        from tpubody.fit import collision as coll_lib
-        coll_proxy = coll_lib.build_collision_proxy(
-            np.asarray(model.v_template), np.asarray(model.weights),
-            np.asarray(model.parents), n_samples=config.coll_n_samples)
+        if config.coll_mode == "mesh":
+            from tpubody.fit import mesh_collision as mcoll_lib
+            mesh_proxy = mcoll_lib.build_mesh_collision(
+                np.asarray(model.v_template), np.asarray(model.faces),
+                np.asarray(model.weights), np.asarray(model.parents),
+                n_faces=config.coll_n_faces, n_verts=config.coll_n_samples,
+                cone_scale=config.coll_cone_scale)
+            coll_fn = functools.partial(
+                mcoll_lib.mesh_penetration_loss, proxy=mesh_proxy)
+        else:
+            from tpubody.fit import collision as coll_lib
+            coll_proxy = coll_lib.build_collision_proxy(
+                np.asarray(model.v_template), np.asarray(model.weights),
+                np.asarray(model.parents), n_samples=config.coll_n_samples)
+            coll_fn = functools.partial(
+                coll_lib.penetration_loss, proxy=coll_proxy)
 
     def body_loss(p, w):
         proj, body_R, state = _forward_joints(
@@ -314,10 +333,8 @@ def fit_frame(
         hands = (priors_lib.l2_prior(p["lhand"])
                  + priors_lib.l2_prior(p["rhand"])) * w["hand_prior"] ** 2
         total = joint_loss + pprior + shape_loss + bend + hands
-        if coll_proxy is not None:
-            from tpubody.fit import collision as coll_lib
-            total = total + w["coll"] * coll_lib.penetration_loss(
-                state.verts, coll_proxy)
+        if coll_fn is not None:
+            total = total + w["coll"] * coll_fn(state.verts)
         return total
 
     n_stages = len(config.body_pose_prior_weights)

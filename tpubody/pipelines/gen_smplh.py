@@ -48,8 +48,12 @@ _ACKNOWLEDGED_NON_FITCONFIG_KEYS = frozenset({
     # the reference does not ship.
     "left_hand_prior_type", "right_hand_prior_type", "optim_hands",
     "optim_shape", "flat_hand_mean",
-    # BVH collision internals (tpubody uses a sphere proxy, fit/collision.py)
-    "df_cone_height", "max_collisions", "point2plane", "penalize_outside",
+    # BVH search internals with no dense-sweep analog: the mesh collision
+    # term (fit/mesh_collision.py) evaluates ALL allowed pairs, so a BVH
+    # pair cap / point2plane toggle has nothing to configure; part-pair
+    # filtering is derived from the kinematic tree instead of an explicit
+    # list.  df_cone_height IS mapped (→ coll_cone_scale, below).
+    "max_collisions", "point2plane", "penalize_outside",
     "ign_part_pairs",
 })
 
@@ -84,7 +88,20 @@ def load_config(yaml_path: Optional[str] = None,
 
         fields = {f.name: f for f in dataclasses.fields(smplify.FitConfig)}
         unknown = []
+        # Reference configs describe the BVH + distance-field collision
+        # term (fitting.py:404-442); its tpubody equivalent is the mesh
+        # cone-field mode, so conf.yaml-driven fits default to it (the
+        # programmatic FitConfig default stays the cheap sphere proxy).
+        if raw.get("interpenetration") and "coll_mode" not in raw:
+            cfg["coll_mode"] = "mesh"
+        if "df_cone_height" in raw:
+            # df_cone_height (smpl_config.py:216-219, default 0.5) scales
+            # how deep the repulsive field reaches; calibrated so the
+            # reference default lands on tpubody's (0.5 → 2.0 circumradii).
+            cfg["coll_cone_scale"] = float(raw["df_cone_height"]) * 4.0
         for key, v in raw.items():
+            if key == "df_cone_height":
+                continue
             if key not in fields:
                 if key not in _ACKNOWLEDGED_NON_FITCONFIG_KEYS:
                     unknown.append(key)
