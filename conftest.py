@@ -38,5 +38,9 @@ def _periodic_jax_cache_clear(request):
     yield
     _TESTS_SINCE_CLEAR["n"] += 1
     if (request.node.get_closest_marker("slow") is not None
-            or _TESTS_SINCE_CLEAR["n"] % 40 == 0):
+            or _TESTS_SINCE_CLEAR["n"] % 100 == 0):
+        # Fast tests compile small programs; clearing every 100 (not 40)
+        # keeps the shared eager-op/jit caches warm across neighboring
+        # tests (measured ~1 min saved over the fast suite) while still
+        # bounding late-suite XLA:CPU state growth.
         jax.clear_caches()

@@ -134,6 +134,7 @@ class TestMeshCollision:
             axis=1)
         assert not np.any(proxy.allowed & own)
 
+    @pytest.mark.slow  # LBS fwd+grad compile dominates (~15 s on 1-core CPU)
     def test_folded_limb_penalized_and_differentiable(self):
         from tpubody.fit import mesh_collision
         model = params_lib.synthetic(n_joints=24, n_verts=512, seed=0)

@@ -53,23 +53,27 @@ class TestSectionRing:
         assert abs(slicing.ring_length(ring) - 2 * np.pi) < 0.02
 
 
-class TestReplaceHandsMesh:
-    def _run(self):
-        body, bf = _tube(radius=0.3, color=(200, 50, 50))
-        smpl, sf = _tube(radius=0.25, color=(125, 125, 125))
-        J = _joints()
-        sJ = _joints()
-        return hands.replace_hands_mesh(body, bf, J, smpl, sf, sJ)
+@pytest.fixture(scope="module")
+def graft_result():
+    """One shared graft: the four mesh-level assertions read the same
+    (immutable numpy) result instead of paying the compile 4x."""
+    body, bf = _tube(radius=0.3, color=(200, 50, 50))
+    smpl, sf = _tube(radius=0.25, color=(125, 125, 125))
+    J = _joints()
+    sJ = _joints()
+    return hands.replace_hands_mesh(body, bf, J, smpl, sf, sJ)
 
-    def test_runs_and_finite(self):
-        res = self._run()
+
+class TestReplaceHandsMesh:
+    def test_runs_and_finite(self, graft_result):
+        res = graft_result
         assert np.isfinite(res.points).all()
         assert res.faces.min() >= 0
         assert res.faces.max() < res.points.shape[0]
         assert res.joints.shape == (24, 3)
 
-    def test_bands_connect_components(self):
-        res = self._run()
+    def test_bands_connect_components(self, graft_result):
+        res = graft_result
         # The grafted mesh's open boundary count must be bounded: the two
         # bridge bands close the wrist cuts (tube ends remain open: 4 rims
         # from body+hands tube ends).
@@ -80,16 +84,16 @@ class TestReplaceHandsMesh:
         # not have grown per-wrist open boundaries beyond the tube rims.
         assert be.shape[0] <= 3 * body_open
 
-    def test_hand_recolored(self):
-        res = self._run()
+    def test_hand_recolored(self, graft_result):
+        res = graft_result
         # Hand vertices (|x| > 1.7) carry the body's wrist color, not the
         # SMPL grey.
         hand_sel = np.abs(res.points[:, 0]) > 1.75
         assert hand_sel.any()
         assert not np.any(res.points[hand_sel, 3:6] == 125.0)
 
-    def test_wrist_joints_updated(self):
-        res = self._run()
+    def test_wrist_joints_updated(self, graft_result):
+        res = graft_result
         J = _joints()
         assert not np.allclose(res.joints[20], J[20])
         assert not np.allclose(res.joints[22], J[22])

@@ -18,7 +18,9 @@ def small_images():
 @pytest.fixture(scope="module")
 def model_and_vars():
     # fp32 on CPU test mesh; bf16 is the TPU deployment dtype.
-    return hmr_lib.create_hmr(dtype=jnp.float32, image_size=64)
+    # shape-init skips the ~25s ResNet-50 init compile; real init is
+    # exercised by the slow stem tests and training paths.
+    return hmr_lib.create_hmr(dtype=jnp.float32, image_size=64, init="shape")
 
 
 def test_forward_shapes(model_and_vars, small_images):
@@ -104,7 +106,7 @@ def test_torch_state_dict_conversion():
         sd[f"{head}.bias"] = np.zeros(n, np.float32)
 
     converted = hmr_lib.convert_torch_state_dict(sd, hmr_lib.default_mean_params())
-    model, variables = hmr_lib.create_hmr(dtype=jnp.float32)
+    model, variables = hmr_lib.create_hmr(dtype=jnp.float32, init="shape")
 
     ref_shapes = {jax.tree_util.keystr(p): v.shape
                   for p, v in jax.tree_util.tree_leaves_with_path(variables)}
@@ -143,6 +145,7 @@ class TestStem:
     def test_param_path_matches_torch_conversion(self):
         """conv1/kernel path is unchanged, so torch checkpoints load into
         either stem (models/hmr.py:49-111 naming)."""
-        model, variables = hmr_lib.create_hmr(dtype=jnp.float32, stem="s2d")
+        model, variables = hmr_lib.create_hmr(dtype=jnp.float32, stem="s2d",
+                                              init="shape")
         assert variables["params"]["backbone"]["conv1"]["kernel"].shape == \
             (7, 7, 3, 64)

@@ -85,9 +85,11 @@ def test_integrate_recovers_sphere():
 def test_matches_scipy_oracle():
     normals, mask, _ = _sphere_cap(H=24, W=20, r=9.0)
     ref = integrate_np(normals, mask)
+    # tol 1e-6 converges well inside the 5e-2 assertion budget; the tighter
+    # 1e-8 costs ~2x the iterations for no extra coverage on this grid.
     got = np.asarray(n2d.integrate(
-        jnp.asarray(normals, jnp.float32), jnp.asarray(mask), maxiter=3000,
-        tol=1e-8))
+        jnp.asarray(normals, jnp.float32), jnp.asarray(mask), maxiter=1500,
+        tol=1e-6))
     m = mask
     # Compare up to the min-shift ambiguity: both are min-shifted already.
     err = np.abs(got[m] - ref[m]).max()

@@ -43,7 +43,8 @@ class TestSoftArgmax:
 
 class TestModel:
     def test_forward_shapes(self):
-        model, vs = pose2d.create_pose2d(features=8, image_size=32)
+        model, vs = pose2d.create_pose2d(features=8, image_size=32,
+                                         init="shape")
         out = pose2d.detect(model, vs,
                             jnp.zeros((2, 32, 32, 3), jnp.float32))
         assert out.keypoints.shape == (2, 67, 3)

@@ -147,3 +147,49 @@ class TestMetrics:
         # events file written if tensorboardX is available; logger must
         # not fail either way
         assert (tmp_path / "m.jsonl").exists()
+
+
+class TestShapeInit:
+    def test_matches_real_init_structure(self):
+        """shape_init's tree has exactly real init's paths/shapes/dtypes,
+        BN stats are identity, and kernels are nonzero."""
+        import flax.linen as nn
+        import jax.numpy as jnp
+        from tpubody.utils.flaxtools import shape_init
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(4, (3, 3), use_bias=False)(x)
+                x = nn.BatchNorm(use_running_average=True)(x)
+                return nn.Dense(2)(x.mean(axis=(1, 2)))
+
+        m = Tiny()
+        ex = jnp.zeros((1, 8, 8, 3))
+        real = m.init(jax.random.PRNGKey(0), ex)
+        fast = shape_init(m, ex)
+        rs = {jax.tree_util.keystr(p): (v.shape, v.dtype)
+              for p, v in jax.tree_util.tree_leaves_with_path(real)}
+        fs = {jax.tree_util.keystr(p): (v.shape, np.asarray(v).dtype)
+              for p, v in jax.tree_util.tree_leaves_with_path(fast)}
+        assert rs == fs
+        bs = fast["batch_stats"]["BatchNorm_0"]
+        np.testing.assert_array_equal(np.asarray(bs["var"]), 1.0)
+        np.testing.assert_array_equal(np.asarray(bs["mean"]), 0.0)
+        assert np.abs(np.asarray(
+            fast["params"]["Conv_0"]["kernel"])).max() > 0
+        # And the materialized tree actually runs.
+        out = m.apply(fast, ex)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_deterministic(self):
+        import flax.linen as nn
+        import jax.numpy as jnp
+        from tpubody.utils.flaxtools import shape_init
+
+        m = nn.Dense(3)
+        ex = jnp.zeros((1, 5))
+        a = shape_init(m, ex)
+        b = shape_init(m, ex)
+        np.testing.assert_array_equal(np.asarray(a["params"]["kernel"]),
+                                      np.asarray(b["params"]["kernel"]))

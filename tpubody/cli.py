@@ -194,7 +194,10 @@ def _cmd_detect_pose(args) -> int:
     inp = img_ops.scale_and_crop(
         img, (img.shape[1] / 2.0, img.shape[0] / 2.0),
         max(img.shape[:2]) / 200.0, H)
-    model, variables = pose2d.create_pose2d(image_size=H)
+    # shape-init: either a checkpoint overwrites the variables, or the
+    # untrained-weights warning below applies — no need to pay the real
+    # init's XLA compile at CLI cold-start.
+    model, variables = pose2d.create_pose2d(image_size=H, init="shape")
     if args.ckpt:
         from tpubody.utils import checkpoint as ckpt_lib
         variables = ckpt_lib.restore_pytree(args.ckpt, variables)

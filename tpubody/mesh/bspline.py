@@ -13,9 +13,18 @@ interpolate_surface, construct_surface loft) — re-designed for TPU:
     reference loops geomdl objects in python),
   * tensor-product surfaces: interpolate rows then columns; evaluation is
     two matmuls B_u @ C @ B_v^T.
+
+Dispatch: every public function runs the identical formulas through numpy
+when all inputs are concrete (host calls on small per-image rings — the
+hands/stitch eager paths and tests), and through jnp when any input is a
+tracer (the jitted/vmapped pipelines, e.g. ``fit_curves_batch`` and the
+batched stitch loft).  Systems here are tiny (n <= a few hundred), so the
+XLA compile cost of a fresh (n, degree) combination dwarfs the solve; the
+numpy path answers in microseconds with no compile at all.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import NamedTuple, Tuple
 
@@ -38,28 +47,45 @@ class Surface(NamedTuple):
     degree_v: int
 
 
+def _ns(*arrays):
+    """numpy for all-concrete inputs, jnp if any is a tracer."""
+    return jnp if any(isinstance(a, jax.core.Tracer) for a in arrays) else np
+
+
+def _full_precision(xp):
+    """Systems here are tiny; TPU's default bf16 matmul costs ~1e-2 absolute
+    error on O(1) coordinates (measured on-chip) for no meaningful speed —
+    force fp32 accumulation on the jnp path."""
+    return (jax.default_matmul_precision("highest") if xp is jnp
+            else contextlib.nullcontext())
+
+
 def chord_length_params(points: jnp.ndarray) -> jnp.ndarray:
     """Normalized chord-length parameters t_0=0 .. t_{n-1}=1."""
-    d = jnp.linalg.norm(jnp.diff(points, axis=0), axis=-1)
-    total = jnp.maximum(jnp.sum(d), 1e-12)
-    t = jnp.concatenate([jnp.zeros(1, points.dtype), jnp.cumsum(d)]) / total
+    xp = _ns(points)
+    points = xp.asarray(points)
+    d = xp.linalg.norm(xp.diff(points, axis=0), axis=-1)
+    total = xp.maximum(xp.sum(d), 1e-12)
+    t = xp.concatenate([xp.zeros(1, points.dtype), xp.cumsum(d)]) / total
     return t
 
 
 def averaged_knots(params: jnp.ndarray, degree: int, n: int) -> jnp.ndarray:
     """Knot vector by parameter averaging (de Boor / NURBS-book 9.8)."""
+    xp = _ns(params)
+    params = xp.asarray(params)
     p = degree
     # interior knots: u_{j+p} = mean(params[j .. j+p-1]), j = 1..n-p-1
     if n - p - 1 > 0:
-        windows = jnp.stack(
+        windows = xp.stack(
             [params[j:j + p] for j in range(1, n - p)], axis=0)  # (n-p-1, p)
-        interior = jnp.mean(windows, axis=1)
+        interior = xp.mean(windows, axis=1)
     else:
-        interior = jnp.zeros((0,), params.dtype)
-    return jnp.concatenate([
-        jnp.zeros(p + 1, params.dtype),
+        interior = xp.zeros((0,), params.dtype)
+    return xp.concatenate([
+        xp.zeros(p + 1, params.dtype),
         interior,
-        jnp.ones(p + 1, params.dtype),
+        xp.ones(p + 1, params.dtype),
     ])
 
 
@@ -75,9 +101,10 @@ def basis_matrix(u: jnp.ndarray, knots: jnp.ndarray, degree: int,
     Returns:
       (m, n) matrix; rows sum to 1.
     """
+    xp = _ns(u, knots)
+    u, knots = xp.asarray(u), xp.asarray(knots)
     p = degree
-    m = u.shape[0]
-    u = jnp.clip(u, 0.0, 1.0)
+    u = xp.clip(u, 0.0, 1.0)
     nk = n + p  # number of degree-0 spans
 
     # Degree 0: indicator of the half-open span, with the final span closed.
@@ -87,20 +114,20 @@ def basis_matrix(u: jnp.ndarray, knots: jnp.ndarray, degree: int,
         u.dtype)
     # u == 1 belongs to the last nonempty span.
     last = (hi >= 1.0) & (lo < 1.0)
-    N = jnp.where((u[:, None] >= 1.0) & last[None, :], 1.0, N)
+    N = xp.where((u[:, None] >= 1.0) & last[None, :], 1.0, N)
 
     for d in range(1, p + 1):
         cnt = nk - d
         left_den = knots[d:d + cnt] - knots[:cnt]
         right_den = knots[d + 1:d + 1 + cnt] - knots[1:1 + cnt]
-        left = jnp.where(
+        left = xp.where(
             left_den > 1e-12,
-            (u[:, None] - knots[None, :cnt]) / jnp.where(
+            (u[:, None] - knots[None, :cnt]) / xp.where(
                 left_den > 1e-12, left_den, 1.0)[None, :] * N[:, :cnt],
             0.0)
-        right = jnp.where(
+        right = xp.where(
             right_den > 1e-12,
-            (knots[None, d + 1:d + 1 + cnt] - u[:, None]) / jnp.where(
+            (knots[None, d + 1:d + 1 + cnt] - u[:, None]) / xp.where(
                 right_den > 1e-12, right_den, 1.0)[None, :] * N[:, 1:1 + cnt],
             0.0)
         N = left + right
@@ -110,20 +137,26 @@ def basis_matrix(u: jnp.ndarray, knots: jnp.ndarray, degree: int,
 def interpolate_curve(points: jnp.ndarray, degree: int = 3) -> Curve:
     """Global interpolation: the curve passes through all points
     (geomdl fitting.interpolate_curve parity)."""
+    xp = _ns(points)
     n = points.shape[0]
     degree = min(degree, n - 1)
     t = chord_length_params(points)
     knots = averaged_knots(t, degree, n)
     A = basis_matrix(t, knots, degree, n)
-    control = jnp.linalg.solve(A, points)
+    with _full_precision(xp):
+        control = xp.linalg.solve(A, xp.asarray(points))
     return Curve(control=control, knots=knots, degree=degree)
 
 
 def eval_curve(curve: Curve, num: int) -> jnp.ndarray:
     """Evaluate at ``num`` evenly spaced parameters (delta = 1/(num-1))."""
-    u = jnp.linspace(0.0, 1.0, num)
+    xp = _ns(curve.control, curve.knots)
+    u = xp.linspace(0.0, 1.0, num)
+    if xp is np:
+        u = u.astype(np.asarray(curve.knots).dtype)
     B = basis_matrix(u, curve.knots, curve.degree, curve.control.shape[0])
-    return B @ curve.control
+    with _full_precision(xp):
+        return B @ xp.asarray(curve.control)
 
 
 def fit_curve_points(points: jnp.ndarray, degree: int, num: int
@@ -147,13 +180,21 @@ def interpolate_surface(grid: jnp.ndarray, degree_u: int = 3,
                         degree_v: int = 3) -> Surface:
     """Tensor-product surface through a (nu, nv, dim) grid of points
     (geomdl fitting.interpolate_surface parity)."""
+    xp = _ns(grid)
+    grid = xp.asarray(grid)
     nu, nv = grid.shape[0], grid.shape[1]
     degree_u = min(degree_u, nu - 1)
     degree_v = min(degree_v, nv - 1)
 
     # Average chord-length parameters across rows/cols (NURBS-book 9.9).
-    tu = jnp.mean(jax.vmap(chord_length_params, in_axes=1)(grid), axis=0)
-    tv = jnp.mean(jax.vmap(chord_length_params, in_axes=0)(grid), axis=0)
+    if xp is np:
+        tu = np.mean([chord_length_params(grid[:, j])
+                      for j in range(nv)], axis=0)
+        tv = np.mean([chord_length_params(grid[i])
+                      for i in range(nu)], axis=0)
+    else:
+        tu = jnp.mean(jax.vmap(chord_length_params, in_axes=1)(grid), axis=0)
+        tv = jnp.mean(jax.vmap(chord_length_params, in_axes=0)(grid), axis=0)
     ku = averaged_knots(tu, degree_u, nu)
     kv = averaged_knots(tv, degree_v, nv)
 
@@ -162,22 +203,31 @@ def interpolate_surface(grid: jnp.ndarray, degree_u: int = 3,
 
     # Solve along v for each u-row, then along u.
     # R[i] = Av^{-1} grid[i]  ->  control = Au^{-1} R
-    R = jax.vmap(lambda row: jnp.linalg.solve(Av, row))(grid)  # (nu, nv, dim)
-    control = jnp.linalg.solve(
-        Au, R.reshape(nu, -1)).reshape(nu, nv, -1)
+    with _full_precision(xp):
+        if xp is np:
+            R = np.linalg.solve(Av, grid)            # batched over nu rows
+        else:
+            R = jax.vmap(lambda row: jnp.linalg.solve(Av, row))(grid)
+        control = xp.linalg.solve(
+            Au, R.reshape(nu, -1)).reshape(nu, nv, -1)
     return Surface(control=control, knots_u=ku, knots_v=kv,
                    degree_u=degree_u, degree_v=degree_v)
 
 
 def eval_surface(surface: Surface, num_u: int, num_v: int) -> jnp.ndarray:
     """(num_u, num_v, dim) sample grid — two matmuls."""
+    xp = _ns(surface.control, surface.knots_u, surface.knots_v)
     nu, nv = surface.control.shape[0], surface.control.shape[1]
-    u = jnp.linspace(0.0, 1.0, num_u)
-    v = jnp.linspace(0.0, 1.0, num_v)
+    u = xp.linspace(0.0, 1.0, num_u)
+    v = xp.linspace(0.0, 1.0, num_v)
+    if xp is np:
+        dt = np.asarray(surface.knots_u).dtype
+        u, v = u.astype(dt), v.astype(dt)
     Bu = basis_matrix(u, surface.knots_u, surface.degree_u, nu)  # (mu, nu)
     Bv = basis_matrix(v, surface.knots_v, surface.degree_v, nv)  # (mv, nv)
-    tmp = jnp.einsum("ui,ivd->uvd", Bu, surface.control)
-    return jnp.einsum("vj,ujd->uvd", Bv, tmp)
+    with _full_precision(xp):
+        tmp = xp.einsum("ui,ivd->uvd", Bu, xp.asarray(surface.control))
+        return xp.einsum("vj,ujd->uvd", Bv, tmp)
 
 
 def grid_faces(num_u: int, num_v: int) -> np.ndarray:

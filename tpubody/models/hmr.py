@@ -231,15 +231,29 @@ def create_hmr(
     rng: Optional[jax.Array] = None,
     image_size: int = 224,
     stem: str = "conv7",
+    init: str = "real",
 ) -> Tuple[HMR, Any]:
-    """Build an HMR module + initialized variables."""
+    """Build an HMR module + initialized variables.
+
+    ``init="shape"`` materializes the variable tree without compiling the
+    forward program (utils.flaxtools.shape_init) — use it when the
+    variables are about to be replaced by a checkpoint, or in tests where
+    only structure/plausibility matters; ResNet-50 init otherwise costs
+    ~25 s of XLA:CPU compile on a 1-core host.
+    """
     if mean_params is None:
         mean_params = default_mean_params()
     model = HMR(mean_params=mean_params, n_iter=n_iter, dtype=dtype,
                 stem=stem)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, image_size, image_size, 3)))
+    example = jnp.zeros((1, image_size, image_size, 3))
+    if init == "shape":
+        from tpubody.utils.flaxtools import shape_init
+
+        variables = shape_init(model, example, rng=rng)
+    else:
+        variables = model.init(rng, example)
     return model, variables
 
 

@@ -117,11 +117,20 @@ def create_pose2d(
     dtype: Any = jnp.float32,
     image_size: int = 256,
     rng: Optional[jax.Array] = None,
+    init: str = "real",
 ) -> Tuple[Pose2D, Any]:
+    """``init="shape"`` materializes variables without compiling the
+    forward program (utils.flaxtools.shape_init) — for checkpoint-restore
+    targets and tests."""
     model = Pose2D(n_keypoints=n_keypoints, features=features, dtype=dtype)
-    variables = model.init(
-        rng if rng is not None else jax.random.PRNGKey(0),
-        jnp.zeros((1, image_size, image_size, 3)))
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    example = jnp.zeros((1, image_size, image_size, 3))
+    if init == "shape":
+        from tpubody.utils.flaxtools import shape_init
+
+        variables = shape_init(model, example, rng=rng)
+    else:
+        variables = model.init(rng, example)
     return model, variables
 
 

@@ -37,7 +37,10 @@ class HMRPredictor:
                  dtype=jnp.bfloat16,
                  focal_length: float = 5000.0,
                  img_size: int = 224):
-        self.model, default_vars = hmr_lib.create_hmr(dtype=dtype)
+        # When a checkpoint's variables are supplied, skip the real (XLA-
+        # compiled) init entirely — only the module is needed.
+        self.model, default_vars = hmr_lib.create_hmr(
+            dtype=dtype, init="shape" if variables is not None else "real")
         if variables is None:
             import sys
             print("WARNING: HMR running with RANDOM-INIT weights — load "
