@@ -81,6 +81,33 @@ def test_cli_detect_pose(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_then_detect_pose(tmp_path):
+    """The advertised train-pose2d -> detect-pose --ckpt flow round-trips:
+    the checkpoint carries its architecture (24 synthetic joints) and
+    detect-pose rebuilds it instead of the 67-slot default."""
+    import cv2
+    import numpy as np
+    from tpubody import cli
+    from tpubody.fit import keypoints as kp_lib
+    ckpt = str(tmp_path / "pose_ckpt")
+    assert cli.main([
+        "train-pose2d", "--out", ckpt, "--steps", "2", "--batch", "2",
+        "--size", "48", "--features", "8", "--domain-rand"]) == 0
+    img = (np.random.default_rng(0).uniform(0, 255, (96, 80, 3))
+           .astype(np.uint8))
+    p_img = str(tmp_path / "person.png")
+    cv2.imwrite(p_img, img)
+    p_out = str(tmp_path / "0_keypoints.json")
+    assert cli.main(["detect-pose", p_img, p_out, "--size", "48",
+                     "--ckpt", ckpt]) == 0
+    kp = kp_lib.read_openpose_json(p_out)
+    assert kp.keypoints.shape == (67, 3)
+    assert np.isfinite(kp.keypoints).all()
+    # the padded tail (no model output) is confidence-0
+    assert (kp.keypoints[25:, 2] == 0).all()
+
+
+@pytest.mark.slow
 def test_cli_train_hmr_synthetic(tmp_path):
     """train-hmr runs end to end on synthetic data and saves a restorable
     checkpoint."""

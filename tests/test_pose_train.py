@@ -41,6 +41,42 @@ class TestProjection:
         assert proj.shape == (5, 3)
 
 
+class TestDomainRand:
+    def test_randomized_batch_varies_and_labels_track(self):
+        """domain_rand produces per-example backgrounds/cameras while the
+        projected labels still land inside the frame for visible joints."""
+        body = params_lib.synthetic(n_joints=24, n_verts=300, seed=0)
+        synth = pose_train.make_synthesizer(body, size=48,
+                                            domain_rand=True)
+        data = jax.jit(synth, static_argnums=1)(jax.random.PRNGKey(3), 4)
+        imgs = np.asarray(data.images)
+        kps = np.asarray(data.keypoints)
+        assert imgs.shape == (4, 48, 48, 3)
+        assert np.isfinite(imgs).all() and np.isfinite(kps).all()
+        assert (imgs >= 0).all() and (imgs <= 1).all()
+        # backgrounds differ across examples (textured, not constant)
+        corners = imgs[:, :4, :4].reshape(4, -1)
+        assert np.std(corners, axis=1).max() > 1e-3
+        assert np.abs(corners[0] - corners[1]).max() > 0.05
+        # cameras differ: per-example keypoint centroids move
+        cent = np.array([k[k[:, 2] > 0, :2].mean(axis=0) for k in kps])
+        assert np.abs(cent - cent[0]).max() > 0.5
+        v = kps[..., 2] > 0
+        assert v.sum() > 30
+        assert (kps[v][:, 0] >= 0).all() and (kps[v][:, 0] < 48).all()
+        assert (kps[v][:, 1] >= 0).all() and (kps[v][:, 1] < 48).all()
+
+    def test_plain_path_unchanged(self):
+        """domain_rand=False keeps the constant-background contract the
+        projection tests rely on."""
+        body = params_lib.synthetic(n_joints=24, n_verts=300, seed=0)
+        synth = pose_train.make_synthesizer(body, size=48)
+        data = synth(jax.random.PRNGKey(0), 2)
+        imgs = np.asarray(data.images)
+        corner = imgs[:, :3, :3]
+        np.testing.assert_allclose(corner, 0.15, atol=1e-5)
+
+
 class TestTraining:
     @pytest.mark.slow
     def test_detector_improves_on_synthetic(self):

@@ -112,8 +112,17 @@ def _cmd_train_pose2d(args) -> int:
 
     res = pose_train.train_pose2d_synthetic(
         steps=args.steps, batch=args.batch, size=args.size,
-        features=args.features, lr=args.lr)
-    ckpt_lib.save_pytree(args.out, res.params)
+        features=args.features, lr=args.lr,
+        domain_rand=getattr(args, "domain_rand", False))
+    n_kp = int(res.model.n_keypoints)
+    # Bundle the architecture with the weights so detect-pose can rebuild
+    # the exact model (the synthetic trainer uses the body's joint count,
+    # not the 67-slot OpenPose layout).
+    ckpt_lib.save_pytree(args.out, {
+        "variables": res.params,
+        "meta": {"n_keypoints": np.asarray(n_kp),
+                 "features": np.asarray(args.features)},
+    })
     print(f"pixel err: {res.pixel_err_before:.2f} -> "
           f"{res.pixel_err_after:.2f} px over {args.steps} steps")
     print(f"wrote checkpoint to {args.out}")
@@ -197,11 +206,22 @@ def _cmd_detect_pose(args) -> int:
     # shape-init: either a checkpoint overwrites the variables, or the
     # untrained-weights warning below applies — no need to pay the real
     # init's XLA compile at CLI cold-start.
-    model, variables = pose2d.create_pose2d(image_size=H, init="shape")
     if args.ckpt:
         from tpubody.utils import checkpoint as ckpt_lib
-        variables = ckpt_lib.restore_pytree(args.ckpt, variables)
+        raw = ckpt_lib.restore_pytree(args.ckpt)
+        if isinstance(raw, dict) and "meta" in raw:
+            meta = raw["meta"]
+            model, _ = pose2d.create_pose2d(
+                n_keypoints=int(np.asarray(meta["n_keypoints"])),
+                features=int(np.asarray(meta["features"])),
+                image_size=H, init="shape")
+            variables = raw["variables"]
+        else:  # bare-variables checkpoint: must match the default arch
+            model, variables = pose2d.create_pose2d(image_size=H,
+                                                    init="shape")
+            variables = ckpt_lib.restore_pytree(args.ckpt, variables)
     else:
+        model, variables = pose2d.create_pose2d(image_size=H, init="shape")
         import sys
         print("WARNING: detect-pose is EXPERIMENTAL and running with "
               "untrained weights — keypoints will not be usable for "
@@ -214,6 +234,11 @@ def _cmd_detect_pose(args) -> int:
     ratio = max(img.shape[:2]) / float(H)
     kp[:, 0] = kp[:, 0] * ratio + (img.shape[1] - max(img.shape[:2])) / 2.0
     kp[:, 1] = kp[:, 1] * ratio + (img.shape[0] - max(img.shape[:2])) / 2.0
+    if kp.shape[0] < pose2d.N_KEYPOINTS:
+        # models trained on fewer joints (synthetic bodies) fill the
+        # leading body slots; the rest stay confidence-0
+        pad = np.zeros((pose2d.N_KEYPOINTS - kp.shape[0], 3), np.float64)
+        kp = np.concatenate([kp, pad], axis=0)
     person = pose2d.keypoints_to_openpose(kp)
     with open(args.out, "w") as f:
         json.dump({"version": 1.3, "people": [person]}, f)
@@ -232,7 +257,25 @@ def _cmd_animate_batch(args) -> int:
     return 0
 
 
+def _maybe_enable_compile_cache() -> None:
+    """Opt-in persistent XLA compilation cache (TPUBODY_COMPILE_CACHE=dir).
+
+    First jit compile of the big programs (ResNet init, fit loop, tiled
+    rasterizer) costs 20-40 s on a TPU host; the cache cuts repeat CLI
+    cold-starts to near-zero.  Off by default: on CPU hosts the cache's
+    AOT machine-feature checks can mis-warn, and tests manage their own
+    cache state."""
+    cache_dir = os.environ.get("TPUBODY_COMPILE_CACHE")
+    if not cache_dir:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None) -> int:
+    _maybe_enable_compile_cache()
     parser = argparse.ArgumentParser(prog="tpubody")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -311,6 +354,9 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--features", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--domain-rand", action="store_true",
+                   help="randomize orientation/camera/background/photometry/"
+                        "occlusion for transfer (pose_train.make_synthesizer)")
     p.set_defaults(fn=_cmd_train_pose2d)
 
     p = sub.add_parser("train-hmr",

@@ -4,12 +4,12 @@ Capability parity with the reference fitting subsystem
 (lib/gen_smplh.py:34-177, lib/Gen_SMPLH/fit_single_frame.py:50-546,
 fitting.py:36-503), re-designed TPU-first:
 
-  * every stage (camera init, 5 weighted body stages, both orientations) is
-    ONE jitted XLA program: SMPLH forward + VPoser decode + losses + L-BFGS
-    (strong-Wolfe) run in a single ``lax.while_loop`` on device — the
-    reference drives hundreds of python closure calls through torch,
-  * stage weights enter as traced scalars, so all 5 stages reuse one
-    compiled executable,
+  * the ENTIRE weighted-stage schedule is one jitted XLA program: a
+    ``lax.scan`` over the per-stage weight schedule whose body is the full
+    L-BFGS (strong-Wolfe) ``lax.while_loop`` over SMPLH forward + VPoser
+    decode + losses — the reference drives hundreds of python closure
+    calls through torch; here 5 stages x 2 orientation candidates share a
+    single compiled executable (weights are traced scan inputs),
   * the camera-depth initialization is the reference's limb-length ratio
     heuristic (fitting.py guess_init :36-110),
   * the 180-degree orientation flip test (fit_single_frame.py:337-356)
@@ -263,8 +263,7 @@ def fit_frame(
         config.optim_type, lr=config.lr, maxiters=config.maxiters,
         ftol=config.ftol, gtol=config.gtol)
 
-    cam_res = opt.minimize(
-        camera_loss,
+    cam_res = jax.jit(lambda x0: opt.minimize(camera_loss, x0))(
         {"cam_t": init_t, "global_orient": zeros_p["global_orient"]})
     cam_t0 = cam_res.params["cam_t"]
     orient0 = cam_res.params["global_orient"]
@@ -338,6 +337,40 @@ def fit_frame(
         return total
 
     n_stages = len(config.body_pose_prior_weights)
+    # Per-stage weights, stacked on a leading stage axis and fed through a
+    # lax.scan so the entire 5-stage schedule (and both orientation
+    # candidates) runs through ONE compiled minimizer program.  The previous
+    # per-stage functools.partial(body_loss, w=w) re-traced — and therefore
+    # recompiled — the L-BFGS while_loop for every stage and orientation
+    # (up to 10 structurally identical XLA compiles per fit).
+    ws = {
+        "data": config.data_weights[:n_stages],
+        "body_pose": config.body_pose_prior_weights,
+        "shape": config.shape_weights[:n_stages],
+        "bending": [config.bending_prior_scale * b
+                    for b in config.body_pose_prior_weights],
+        "hand_prior": config.hand_pose_prior_weights[:n_stages],
+        "hand_joints": (config.hand_joints_weights[:n_stages]
+                        if config.use_hands else [0.0] * n_stages),
+        "coll": (config.coll_loss_weights[:n_stages]
+                 if config.interpenetration else [0.0] * n_stages),
+    }
+    for k, v in ws.items():
+        if len(v) != n_stages:
+            raise ValueError(
+                f"config weight schedule '{k}' has {len(v)} entries; "
+                f"expected {n_stages} (one per stage, reference "
+                "fit_single_frame.py:110-147 consistency asserts)")
+    ws = {k: jnp.asarray(v, jnp.float32) for k, v in ws.items()}
+
+    @jax.jit
+    def run_stages(p0):
+        def step(p, w):
+            res = opt.minimize(functools.partial(body_loss, w=w), p)
+            return res.params, res.loss
+
+        return jax.lax.scan(step, p0, ws)
+
     best = None
     for orient in orients:
         p = {
@@ -353,28 +386,8 @@ def fit_frame(
             p["pose_embedding"] = jnp.zeros(32)
         else:
             p["body_pose"] = jnp.zeros(63)
-        loss_val = None
-        for s in range(n_stages):
-            w = {
-                "data": jnp.asarray(config.data_weights[s], jnp.float32),
-                "body_pose": jnp.asarray(
-                    config.body_pose_prior_weights[s], jnp.float32),
-                "shape": jnp.asarray(config.shape_weights[s], jnp.float32),
-                "bending": jnp.asarray(
-                    config.bending_prior_scale
-                    * config.body_pose_prior_weights[s], jnp.float32),
-                "hand_prior": jnp.asarray(
-                    config.hand_pose_prior_weights[s], jnp.float32),
-                "hand_joints": jnp.asarray(
-                    config.hand_joints_weights[s]
-                    if config.use_hands else 0.0, jnp.float32),
-                "coll": jnp.asarray(
-                    config.coll_loss_weights[s]
-                    if config.interpenetration else 0.0, jnp.float32),
-            }
-            res = opt.minimize(functools.partial(body_loss, w=w), p)
-            p = res.params
-            loss_val = float(res.loss)
+        p, stage_losses = run_stages(p)
+        loss_val = float(stage_losses[-1])
         if best is None or loss_val < best[0]:
             best = (loss_val, p)
 

@@ -43,26 +43,105 @@ class SynthBatch(NamedTuple):
     keypoints: jnp.ndarray    # (B, J, 3) pixel x, y, valid
 
 
+def _yaw_pitch_roll(key, batch: int, yaw_scale: float,
+                    tilt_scale: float) -> jnp.ndarray:
+    """(batch, 3, 3) rotations: uniform yaw, small gaussian pitch/roll."""
+    ky, kp, kr = jax.random.split(key, 3)
+    yaw = yaw_scale * jax.random.uniform(ky, (batch,), minval=-jnp.pi,
+                                         maxval=jnp.pi)
+    pitch = tilt_scale * jax.random.normal(kp, (batch,))
+    roll = tilt_scale * jax.random.normal(kr, (batch,))
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    z = jnp.zeros_like(yaw)
+    o = jnp.ones_like(yaw)
+    Ry = jnp.stack([cy, z, sy, z, o, z, -sy, z, cy], -1).reshape(-1, 3, 3)
+    Rx = jnp.stack([o, z, z, z, cp, -sp, z, sp, cp], -1).reshape(-1, 3, 3)
+    Rz = jnp.stack([cr, -sr, z, sr, cr, z, z, z, o], -1).reshape(-1, 3, 3)
+    return Ry @ Rx @ Rz
+
+
 def make_synthesizer(body, size: int = 64, focal: float = 150.0,
                      cam_z: float = 3.0, pose_scale: float = 0.25,
-                     window: int = 64):
-    """Returns jit-ready ``synth(key, batch) -> SynthBatch``."""
+                     window: int = 64, domain_rand: bool = False,
+                     n_occluders: int = 2):
+    """Returns jit-ready ``synth(key, batch) -> SynthBatch``.
+
+    ``domain_rand=True`` adds the randomizations that matter for transfer
+    (standard synthetic-pose-pretraining recipe): uniform global yaw +
+    small pitch/roll, camera depth/offset jitter, low-frequency textured
+    backgrounds, photometric jitter, and random occluding rectangles
+    (keypoints under an occluder keep valid=1 — the net must learn
+    amodal localization, as OpenPose does for occluded joints).
+    """
     faces = jnp.asarray(np.asarray(body.faces), jnp.int32)
-    cam_t = jnp.asarray([0.0, 0.0, cam_z])
-    bg = jnp.ones((size, size, 3)) * 0.15
 
     def synth(key, batch: int) -> SynthBatch:
-        kp_key, c_key = jax.random.split(key)
+        (kp_key, c_key, rot_key, cam_key, bg_key, photo_key,
+         occ_key, beta_key) = jax.random.split(key, 8)
         poses = pose_scale * jax.random.normal(
             kp_key, (batch, body.num_joints, 3))
-        state = smpl_lib.forward_batch(body, poses, jnp.zeros(10), None)
-        colors = 0.4 + 0.5 * jax.random.uniform(
-            c_key, (body.num_verts, 3))
-        imgs = video_lib.render_frames(
-            state.verts, faces, colors, cam_t, bg,
-            height=size, width=size, focal=focal, window=window)
-        kps = project_like_render(state.joints_posed, cam_t, focal,
-                                  size, size)
+        betas = (0.5 * jax.random.normal(beta_key, (10,))
+                 if domain_rand else jnp.zeros(10))
+        state = smpl_lib.forward_batch(body, poses, betas, None)
+        verts, joints = state.verts, state.joints_posed
+
+        if domain_rand:
+            # Global orientation: rotate verts+joints about the body center.
+            R = _yaw_pitch_roll(rot_key, batch, 1.0, 0.15)
+            center = verts.mean(axis=1, keepdims=True)
+            verts = (verts - center) @ jnp.swapaxes(R, 1, 2) + center
+            joints = ((joints - center) @ jnp.swapaxes(R, 1, 2) + center)
+            # Camera jitter: depth and image-plane offset.
+            kz, kxy = jax.random.split(cam_key)
+            dz = jax.random.uniform(kz, (batch, 1), minval=-0.25,
+                                    maxval=0.45)
+            dxy = 0.12 * jax.random.normal(kxy, (batch, 2))
+            cam_t = jnp.concatenate(
+                [dxy, cam_z * (1.0 + dz)], axis=-1)       # (B, 3)
+            # Low-frequency textured background per example.
+            coarse = jax.random.uniform(bg_key, (batch, 6, 6, 3))
+            bg = jax.image.resize(coarse, (batch, size, size, 3),
+                                  "cubic")
+        else:
+            cam_t = jnp.broadcast_to(jnp.asarray([0.0, 0.0, cam_z]),
+                                     (batch, 3))
+            bg = jnp.broadcast_to(jnp.ones(3) * 0.15,
+                                  (batch, size, size, 3))
+
+        colors = 0.4 + 0.5 * jax.random.uniform(c_key, (body.num_verts, 3))
+        imgs = jax.vmap(
+            lambda v, t, b: video_lib.render_frame(
+                v, faces, colors, t, b, height=size, width=size,
+                focal=focal, window=window))(verts, cam_t, bg)
+        kps = jax.vmap(
+            lambda j, t: project_like_render(j, t, focal, size, size)
+        )(joints, cam_t)
+
+        if domain_rand:
+            # Photometric jitter: per-example brightness/contrast/channel
+            # gain, then random occluding rectangles (labels unchanged).
+            kb, kc, kg, ko = jax.random.split(photo_key, 4)
+            bright = 0.15 * jax.random.normal(kb, (batch, 1, 1, 1))
+            contr = 1.0 + 0.25 * jax.random.normal(kc, (batch, 1, 1, 1))
+            gain = 1.0 + 0.12 * jax.random.normal(kg, (batch, 1, 1, 3))
+            imgs = (imgs - 0.5) * contr * gain + 0.5 + bright
+            yy = jnp.arange(size, dtype=jnp.float32)[None, :, None]
+            xx = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+            for i in range(n_occluders):
+                kc1, kc2, kc3, ko = jax.random.split(
+                    jax.random.fold_in(occ_key, i), 4)
+                cxy = size * jax.random.uniform(kc1, (batch, 2))
+                wh = size * jax.random.uniform(kc2, (batch, 2),
+                                               minval=0.05, maxval=0.22)
+                col = jax.random.uniform(kc3, (batch, 1, 1, 3))
+                inside = ((jnp.abs(yy - cxy[:, 0:1, None]) < wh[:, 0:1, None])
+                          & (jnp.abs(xx - cxy[:, 1:2, None])
+                             < wh[:, 1:2, None]))
+                imgs = jnp.where(inside[..., None], col, imgs)
+            imgs = jnp.clip(imgs, 0.0, 1.0)
+
         inside = ((kps[..., 0] >= 0) & (kps[..., 0] < size)
                   & (kps[..., 1] >= 0) & (kps[..., 1] < size))
         kps = kps.at[..., 2].set(inside.astype(jnp.float32))
@@ -89,12 +168,13 @@ def train_pose2d_synthetic(
     lr: float = 1e-3,
     seed: int = 0,
     body=None,
+    domain_rand: bool = False,
 ) -> PoseTrainResult:
     """Train a pose2d detector purely on rendered synthetic bodies."""
     if body is None:
         body = params_lib.synthetic(n_joints=n_joints, n_verts=n_verts,
                                     seed=seed)
-    synth = make_synthesizer(body, size=size)
+    synth = make_synthesizer(body, size=size, domain_rand=domain_rand)
     model, variables = pose2d.create_pose2d(
         n_keypoints=body.num_joints, features=features, image_size=size)
     tx = optax.adam(lr)
