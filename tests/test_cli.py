@@ -62,6 +62,47 @@ def test_gen_smplh_end_to_end(tmp_path):
     assert np.isfinite(fit.pose).all()
 
 
+@pytest.mark.slow
+def test_gen_smplh_batch_two_dirs(tmp_path):
+    """gen_smplh_batch fits two fixture-layout dirs through one vmapped
+    program and writes the full artifact set in each."""
+    import cv2
+    from tpubody.models import params as params_lib
+
+    rng = np.random.default_rng(1)
+    items = []
+    for i in range(2):
+        d = tmp_path / f"case{i}"
+        d.mkdir()
+        cv2.imwrite(str(d / "front_rgb.png"),
+                    np.zeros((100, 100, 3), np.uint8))
+        body = np.concatenate(
+            [rng.uniform(20, 80, (25, 2)), np.ones((25, 1))], axis=1)
+        kp_lib.write_openpose_json(str(d / "0_keypoints.json"), body,
+                                   np.zeros((21, 3)), np.zeros((21, 3)))
+        items.append((str(d / "front_rgb.png"),
+                      str(d / "0_keypoints.json"), str(d / "out")))
+
+    model = params_lib.synthetic(n_joints=52, n_verts=300, seed=2)
+    cfg = gen_lib.load_config(
+        None, maxiters=3, focal_length=500.0, use_vposer=True,
+        data_weights=(1.0, 1.0), body_pose_prior_weights=(404.0, 57.4),
+        shape_weights=(100.0, 10.0), hand_pose_prior_weights=(404.0, 57.4),
+        hand_joints_weights=(0.0, 0.1), coll_loss_weights=(0.0, 0.0))
+    results = gen_lib.gen_smplh_batch(items, model=model, config=cfg,
+                                      vposer_ckpt="/nonexistent")
+    assert len(results) == 2
+    for _, _, out in items:
+        assert os.path.exists(os.path.join(out, "smplh.pkl"))
+        assert os.path.exists(os.path.join(out, "conf.yaml"))
+        assert os.path.exists(os.path.join(out, "pre_smplh.pkl"))
+        assert os.path.exists(os.path.join(out, "smplh.obj"))
+        assert os.path.exists(os.path.join(out, "smplh2rgb_rend.png"))
+    for fit in results:
+        assert np.isfinite(fit.pose).all()
+        assert fit.pose.shape == (156,)
+
+
 def test_cli_detect_pose(tmp_path):
     """detect-pose writes OpenPose-format JSON that the fitting stack
     reads (lib/openpose.py contract)."""

@@ -207,6 +207,90 @@ class TestSmplify:
         assert np.isfinite(out.loss)
         assert fit_err < 0.35 * base_err, (fit_err, base_err)
 
+    @pytest.mark.slow
+    def test_fit_frames_batch_matches_single(self):
+        """fit_frames on a 2-frame batch ~= fit_frame per frame: same
+        losses/params (the batch path always evaluates the flip but gates
+        its selection identically; with try_both off and front-on
+        shoulders the selected lane is the unflipped one)."""
+        model = params_lib.synthetic(n_joints=52, n_verts=300, seed=0)
+        dec, dec_params = vposer_lib.create_decoder(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(0)
+        center = np.array([128.0, 128.0])
+        focal = 800.0
+
+        kps_list = []
+        for seed in (1, 2):
+            r2 = np.random.default_rng(seed)
+            z = jnp.asarray(r2.normal(scale=0.4, size=(32,)), jnp.float32)
+            body63 = vposer_lib.decode_to_axis_angle(dec, dec_params,
+                                                     z[None])[0]
+            pose = jnp.concatenate(
+                [jnp.zeros(3), body63, jnp.zeros(90)]).reshape(52, 3)
+            st = smpl_lib.forward(model, pose, jnp.zeros(10))
+            j3 = joints_lib.openpose_joints(st.verts, st.joints_posed)
+            proj = np.asarray(smplify._project(
+                j3, jnp.asarray([0.0, 0.0, 5.0]), focal,
+                jnp.asarray(center)))
+            kps_list.append(
+                np.concatenate([proj, np.ones((67, 1))], axis=1))
+        kps = np.stack(kps_list)
+
+        cfg = smplify.FitConfig(
+            focal_length=focal, maxiters=6, try_both_orient=False,
+            side_view_thsh=0.0,
+            data_weights=(1.0, 1.0),
+            body_pose_prior_weights=(404.0, 57.4),
+            shape_weights=(100.0, 10.0),
+            hand_pose_prior_weights=(404.0, 57.4),
+            hand_joints_weights=(0.0, 0.1),
+            coll_loss_weights=(0.0, 0.0))
+
+        batch = smplify.fit_frames(model, kps, center, cfg,
+                                   dec_params=dec_params)
+        assert batch.pose.shape == (2, 156)
+        assert batch.shape.shape == (2, 10)
+        assert np.isfinite(batch.pose).all()
+        assert np.isfinite(batch.loss).all()
+
+        # Lockstep batched while_loops legitimately take slightly different
+        # line-search paths than serial execution; require losses within
+        # 15% of the serial fit (measured ~3.5%, often lower = better).
+        for i in range(2):
+            single = smplify.fit_frame(model, kps[i], center, cfg,
+                                       dec_params=dec_params)
+            np.testing.assert_allclose(batch.loss[i], single.loss,
+                                       rtol=0.15)
+            np.testing.assert_allclose(
+                batch.camera_translation[i], single.camera_translation,
+                rtol=0.15, atol=0.15)
+
+    @pytest.mark.slow
+    def test_fit_frames_batch_sharded_over_mesh(self):
+        """The frame axis shards over the virtual device mesh and pads the
+        ragged tail; results stay per-frame finite."""
+        if jax.device_count() < 2:
+            pytest.skip("needs a multi-device mesh")
+        from tpubody.dist import mesh as mesh_lib
+        model = params_lib.synthetic(n_joints=52, n_verts=200, seed=0)
+        _, dec_params = vposer_lib.create_decoder(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(3)
+        kps = np.zeros((3, 67, 3), np.float32)   # 3 frames over 8 devices
+        kps[..., :2] = 128 + 40 * rng.normal(size=(3, 67, 2))
+        kps[..., 2] = 1.0
+        cfg = smplify.FitConfig(
+            focal_length=500.0, maxiters=2, try_both_orient=False,
+            side_view_thsh=0.0,
+            data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+            shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+            hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+        mesh = mesh_lib.make_mesh()
+        out = smplify.fit_frames(model, kps, np.array([128.0, 128.0]),
+                                 cfg, dec_params=dec_params, mesh=mesh)
+        assert out.pose.shape == (3, 156)
+        assert np.isfinite(out.pose).all()
+        assert np.isfinite(out.loss).all()
+
     def test_guess_init_depth_scales_with_distance(self):
         j3 = jnp.asarray(np.random.default_rng(5).normal(size=(67, 3)),
                          jnp.float32)

@@ -24,6 +24,39 @@ def _cmd_gen_smplh(args) -> int:
     return 0
 
 
+def _cmd_gen_smplh_batch(args) -> int:
+    """Batched fitting over fixture dirs (reference lib/gen_smplh.py:179-185
+    loops serially; tpubody fits all frames in one vmapped program)."""
+    from tpubody.pipelines import gen_smplh
+
+    items = []
+    for d in args.dirs:
+        img = os.path.join(d, "front_rgb.png")
+        keyp = os.path.join(d, "0_keypoints.json")
+        if not (os.path.exists(img) and os.path.exists(keyp)):
+            print(f"skipping {d}: needs front_rgb.png + 0_keypoints.json",
+                  file=sys.stderr)
+            continue
+        out = os.path.join(args.out_root, os.path.basename(
+            os.path.normpath(d))) if args.out_root else d
+        items.append((img, keyp, out))
+    if not items:
+        print("no valid fixture dirs", file=sys.stderr)
+        return 1
+    mesh = None
+    if args.shard and len(items) > 1:
+        import jax
+
+        from tpubody.dist import mesh as mesh_lib
+        if len(jax.devices()) > 1:
+            mesh = mesh_lib.make_mesh()
+    results = gen_smplh.gen_smplh_batch(items, config_yaml=args.config,
+                                        mesh=mesh)
+    for (img, _, out), fit in zip(items, results):
+        print(f"wrote {os.path.join(out, 'smplh.pkl')}")
+    return 0
+
+
 def _cmd_reconstruct(args) -> int:
     from tpubody.models import params as params_lib
     from tpubody.pipelines import reconstruct as rec
@@ -285,6 +318,18 @@ def main(argv=None) -> int:
     p.add_argument("out")
     p.add_argument("--config", default=None, help="YAML config overrides")
     p.set_defaults(fn=_cmd_gen_smplh)
+
+    p = sub.add_parser(
+        "gen-smplh-batch",
+        help="fit SMPLH to many fixture dirs in one batched program")
+    p.add_argument("dirs", nargs="+",
+                   help="fixture dirs (front_rgb.png + 0_keypoints.json)")
+    p.add_argument("--out-root", default=None,
+                   help="write outputs under this root instead of in-place")
+    p.add_argument("--config", default=None, help="YAML config overrides")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the frame axis over all devices")
+    p.set_defaults(fn=_cmd_gen_smplh_batch)
 
     p = sub.add_parser("reconstruct", help="full single-image reconstruction")
     p.add_argument("path", help="fixture dir with front/back/mask/smplh.pkl")

@@ -161,6 +161,96 @@ def guess_init_depth(joints3d_op: jnp.ndarray, joints2d: jnp.ndarray,
     return focal * h3 / h2
 
 
+# --- shared per-config setup (fit_frame + fit_frames) -------------------
+
+def _setup_hand_bases(model, config: FitConfig):
+    """PCA hand bases when configured and available: ((comps, mean) x2,
+    hand_dim)."""
+    hand_bases = (None, None)
+    hand_dim = 45
+    if (config.use_pca and model.hands_components_l is not None
+            and model.hands_components_r is not None):
+        n = config.num_pca_comps
+        ml = model.hands_mean_l if model.hands_mean_l is not None \
+            else jnp.zeros(45)
+        mr = model.hands_mean_r if model.hands_mean_r is not None \
+            else jnp.zeros(45)
+        hand_bases = ((model.hands_components_l[:n], ml),
+                      (model.hands_components_r[:n], mr))
+        hand_dim = n
+    return hand_bases, hand_dim
+
+
+def _setup_gmm(config: FitConfig):
+    """GMM body-pose prior for the non-VPoser path (reference
+    fitting.py:385-388 routes through the prior from body_prior_type)."""
+    if config.use_vposer or config.body_prior_type not in ("gmm", "mog"):
+        return None
+    import os as _os
+
+    gmm_path = _os.path.join(
+        config.prior_folder, f"gmm_{config.num_gaussians:02d}.pkl") \
+        if config.prior_folder else ""
+    if gmm_path and _os.path.exists(gmm_path):
+        gmm_prior = priors_lib.load_gmm(gmm_path)
+        if gmm_prior.means.shape[1] != 63:
+            # SMPLify GMM pickles are 69-dim (23 SMPL body joints);
+            # SMPLH body pose is 63-dim — keep the shared prefix.
+            gmm_prior = priors_lib.GMMPrior(
+                means=gmm_prior.means[:, :63],
+                precisions=gmm_prior.precisions[:, :63, :63],
+                log_norm=gmm_prior.log_norm)
+        return gmm_prior
+    return priors_lib.synthetic_gmm(
+        n_components=config.num_gaussians, dim=63)
+
+
+def _setup_collision(model, config: FitConfig):
+    """Optional self-collision penalty (fitting.py:404-442 equivalents)."""
+    if not config.interpenetration:
+        return None
+    if config.coll_mode == "mesh":
+        from tpubody.fit import mesh_collision as mcoll_lib
+        mesh_proxy = mcoll_lib.build_mesh_collision(
+            np.asarray(model.v_template), np.asarray(model.faces),
+            np.asarray(model.weights), np.asarray(model.parents),
+            n_faces=config.coll_n_faces, n_verts=config.coll_n_samples,
+            cone_scale=config.coll_cone_scale)
+        return functools.partial(
+            mcoll_lib.mesh_penetration_loss, proxy=mesh_proxy)
+    from tpubody.fit import collision as coll_lib
+    coll_proxy = coll_lib.build_collision_proxy(
+        np.asarray(model.v_template), np.asarray(model.weights),
+        np.asarray(model.parents), n_samples=config.coll_n_samples)
+    return functools.partial(coll_lib.penetration_loss, proxy=coll_proxy)
+
+
+def _stage_weights(config: FitConfig):
+    """Per-stage weight schedule stacked on a leading stage axis (scan
+    input); raises on schedule-length mismatches (the reference's
+    fit_single_frame.py:110-147 consistency asserts)."""
+    n_stages = len(config.body_pose_prior_weights)
+    ws = {
+        "data": config.data_weights[:n_stages],
+        "body_pose": config.body_pose_prior_weights,
+        "shape": config.shape_weights[:n_stages],
+        "bending": [config.bending_prior_scale * b
+                    for b in config.body_pose_prior_weights],
+        "hand_prior": config.hand_pose_prior_weights[:n_stages],
+        "hand_joints": (config.hand_joints_weights[:n_stages]
+                        if config.use_hands else [0.0] * n_stages),
+        "coll": (config.coll_loss_weights[:n_stages]
+                 if config.interpenetration else [0.0] * n_stages),
+    }
+    for k, v in ws.items():
+        if len(v) != n_stages:
+            raise ValueError(
+                f"config weight schedule '{k}' has {len(v)} entries; "
+                f"expected {n_stages} (one per stage, reference "
+                "fit_single_frame.py:110-147 consistency asserts)")
+    return {k: jnp.asarray(v, jnp.float32) for k, v in ws.items()}
+
+
 def fit_frame(
     model: params_lib.BodyModelParams,      # 52-joint SMPLH
     keypoints: np.ndarray,                  # (67, 3) x, y, conf
@@ -191,18 +281,7 @@ def fit_frame(
 
     # PCA hand bases (use_pca + model carries components): optimize
     # num_pca_comps coefficients per hand instead of 45 axis-angles.
-    hand_bases = (None, None)
-    hand_dim = 45
-    if (config.use_pca and model.hands_components_l is not None
-            and model.hands_components_r is not None):
-        n = config.num_pca_comps
-        ml = model.hands_mean_l if model.hands_mean_l is not None \
-            else jnp.zeros(45)
-        mr = model.hands_mean_r if model.hands_mean_r is not None \
-            else jnp.zeros(45)
-        hand_bases = ((model.hands_components_l[:n], ml),
-                      (model.hands_components_r[:n], mr))
-        hand_dim = n
+    hand_bases, hand_dim = _setup_hand_bases(model, config)
 
     # --- initialization -------------------------------------------------
     zeros_p = {
@@ -212,27 +291,7 @@ def fit_frame(
         "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
     }
 
-    # Body-pose prior for the non-VPoser path (reference fitting.py:385-388
-    # routes through the prior selected by body_prior_type).
-    gmm_prior = None
-    if not config.use_vposer and config.body_prior_type in ("gmm", "mog"):
-        import os as _os
-
-        gmm_path = _os.path.join(
-            config.prior_folder, f"gmm_{config.num_gaussians:02d}.pkl") \
-            if config.prior_folder else ""
-        if gmm_path and _os.path.exists(gmm_path):
-            gmm_prior = priors_lib.load_gmm(gmm_path)
-            if gmm_prior.means.shape[1] != 63:
-                # SMPLify GMM pickles are 69-dim (23 SMPL body joints);
-                # SMPLH body pose is 63-dim — keep the shared prefix.
-                gmm_prior = priors_lib.GMMPrior(
-                    means=gmm_prior.means[:, :63],
-                    precisions=gmm_prior.precisions[:, :63, :63],
-                    log_norm=gmm_prior.log_norm)
-        else:
-            gmm_prior = priors_lib.synthetic_gmm(
-                n_components=config.num_gaussians, dim=63)
+    gmm_prior = _setup_gmm(config)
     state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), zeros_p["betas"])
     j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
                                     vertex_ids=vertex_ids)
@@ -283,24 +342,7 @@ def fit_frame(
         orients.append(np.asarray(
             rotmat_to_axis_angle(jnp.asarray(R0 @ Rflip))))
 
-    coll_fn = None
-    if config.interpenetration:
-        if config.coll_mode == "mesh":
-            from tpubody.fit import mesh_collision as mcoll_lib
-            mesh_proxy = mcoll_lib.build_mesh_collision(
-                np.asarray(model.v_template), np.asarray(model.faces),
-                np.asarray(model.weights), np.asarray(model.parents),
-                n_faces=config.coll_n_faces, n_verts=config.coll_n_samples,
-                cone_scale=config.coll_cone_scale)
-            coll_fn = functools.partial(
-                mcoll_lib.mesh_penetration_loss, proxy=mesh_proxy)
-        else:
-            from tpubody.fit import collision as coll_lib
-            coll_proxy = coll_lib.build_collision_proxy(
-                np.asarray(model.v_template), np.asarray(model.weights),
-                np.asarray(model.parents), n_samples=config.coll_n_samples)
-            coll_fn = functools.partial(
-                coll_lib.penetration_loss, proxy=coll_proxy)
+    coll_fn = _setup_collision(model, config)
 
     def body_loss(p, w):
         proj, body_R, state = _forward_joints(
@@ -336,32 +378,13 @@ def fit_frame(
             total = total + w["coll"] * coll_fn(state.verts)
         return total
 
-    n_stages = len(config.body_pose_prior_weights)
     # Per-stage weights, stacked on a leading stage axis and fed through a
     # lax.scan so the entire 5-stage schedule (and both orientation
     # candidates) runs through ONE compiled minimizer program.  The previous
     # per-stage functools.partial(body_loss, w=w) re-traced — and therefore
     # recompiled — the L-BFGS while_loop for every stage and orientation
     # (up to 10 structurally identical XLA compiles per fit).
-    ws = {
-        "data": config.data_weights[:n_stages],
-        "body_pose": config.body_pose_prior_weights,
-        "shape": config.shape_weights[:n_stages],
-        "bending": [config.bending_prior_scale * b
-                    for b in config.body_pose_prior_weights],
-        "hand_prior": config.hand_pose_prior_weights[:n_stages],
-        "hand_joints": (config.hand_joints_weights[:n_stages]
-                        if config.use_hands else [0.0] * n_stages),
-        "coll": (config.coll_loss_weights[:n_stages]
-                 if config.interpenetration else [0.0] * n_stages),
-    }
-    for k, v in ws.items():
-        if len(v) != n_stages:
-            raise ValueError(
-                f"config weight schedule '{k}' has {len(v)} entries; "
-                f"expected {n_stages} (one per stage, reference "
-                "fit_single_frame.py:110-147 consistency asserts)")
-    ws = {k: jnp.asarray(v, jnp.float32) for k, v in ws.items()}
+    ws = _stage_weights(config)
 
     @jax.jit
     def run_stages(p0):
@@ -395,11 +418,17 @@ def fit_frame(
     body63 = np.asarray(vposer_lib.decode_to_axis_angle(
         decoder, dec_params, p["pose_embedding"][None])[0]) \
         if config.use_vposer else np.asarray(p["body_pose"])
+    return _finalize_fit(p, body63, hand_bases, camera_center, focal,
+                         loss_val)
+
+
+def _finalize_fit(p, body63, hand_bases, camera_center, focal, loss_val
+                  ) -> "FitOutput":
     lhand_aa = np.asarray(_hand_aa(p, "lhand", hand_bases[0])).reshape(45)
     rhand_aa = np.asarray(_hand_aa(p, "rhand", hand_bases[1])).reshape(45)
     pose156 = np.concatenate([
-        np.asarray(p["global_orient"]).reshape(3), body63.reshape(63),
-        lhand_aa, rhand_aa])
+        np.asarray(p["global_orient"]).reshape(3),
+        np.asarray(body63).reshape(63), lhand_aa, rhand_aa])
     return FitOutput(
         pose=pose156,
         shape=np.asarray(p["betas"]),
@@ -409,4 +438,216 @@ def fit_frame(
         camera_fx=focal,
         pose_embedding=np.asarray(p.get("pose_embedding", jnp.zeros(32))),
         loss=loss_val,
+    )
+
+
+class FitBatchOutput(NamedTuple):
+    pose: np.ndarray                # (N, 156)
+    shape: np.ndarray               # (N, 10)
+    camera_translation: np.ndarray  # (N, 3)
+    camera_center: np.ndarray       # (N, 2)
+    camera_fx: float
+    pose_embedding: np.ndarray      # (N, 32)
+    loss: np.ndarray                # (N,)
+
+
+def fit_frames(
+    model: params_lib.BodyModelParams,
+    keypoints: np.ndarray,           # (N, 67, 3)
+    camera_centers: np.ndarray,      # (N, 2) or (2,)
+    config: FitConfig = FitConfig(),
+    dec_params=None,
+    rng: Optional[jax.Array] = None,
+    init_cam_t: Optional[np.ndarray] = None,   # (N, 3)
+    mesh=None,
+) -> FitBatchOutput:
+    """Batched SMPLify: fit N frames of keypoints in ONE compiled program.
+
+    TPU-first beyond the reference (which fits frames one at a time
+    through a python loop, lib/gen_smplh.py:179-185): the entire staged
+    fit — camera init, both orientation candidates, the full weighted
+    stage schedule, every L-BFGS while_loop — is ``vmap``-ped over the
+    frame axis, so one chip optimizes the whole batch in parallel and a
+    multi-chip ``mesh`` (dist.mesh) shards frames over devices.
+
+    Semantics vs ``fit_frame``: identical losses and schedule.  The only
+    difference is the 180° flip test — fit_frame decides on the host
+    whether to *evaluate* the flipped candidate; here both candidates are
+    always evaluated (lanes run in lockstep under vmap anyway) and the
+    flip is *selected* per-frame only where try_both_orient or the
+    side-view shoulder test allows it, matching the reference's selection
+    rule (fit_single_frame.py:337-356).
+    """
+    decoder = vposer_lib.VPoserDecoder()
+    if dec_params is None:
+        _, dec_params = vposer_lib.create_decoder(rng)
+
+    kps_all = jnp.asarray(np.asarray(keypoints, np.float32))
+    N = kps_all.shape[0]
+    centers_np = np.broadcast_to(
+        np.asarray(camera_centers, np.float32), (N, 2)).copy()
+    centers = jnp.asarray(centers_np)
+    if init_cam_t is None:
+        init_t_all = jnp.zeros((N, 3), jnp.float32)
+        has_init = jnp.zeros((N,), bool)
+    else:
+        init_t_all = jnp.asarray(
+            np.asarray(init_cam_t, np.float32)).reshape(N, 3)
+        has_init = jnp.ones((N,), bool)
+
+    jw = jnp.asarray(kp_lib.joint_weights(
+        config.joints_to_ign, config.use_hands), jnp.float32)
+    vertex_ids = joints_lib.extra_vertex_ids(model.num_verts)
+    hand_bases, hand_dim = _setup_hand_bases(model, config)
+    gmm_prior = _setup_gmm(config)
+    coll_fn = _setup_collision(model, config)
+    ws = _stage_weights(config)
+    focal = config.focal_length
+    init_idxs = jnp.asarray(config.init_joints_idxs)
+
+    from tpubody.core.rotations import rodrigues, rotmat_to_axis_angle
+    from tpubody.fit import optim as optim_lib
+    opt = optim_lib.create_optimizer(
+        config.optim_type, lr=config.lr, maxiters=config.maxiters,
+        ftol=config.ftol, gtol=config.gtol)
+
+    zeros_p = {
+        "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
+        "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(63),
+        "cam_t": jnp.zeros(3),
+        "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
+    }
+
+    def fit_one(kps, center, init_t, has_init_t):
+        gt2d = kps[:, :2]
+        conf = kps[:, 2]
+
+        # Frame-independent zero-pose joints: unbatched under vmap.
+        state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+        j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
+                                        vertex_ids=vertex_ids)
+        est_d = jnp.where(
+            has_init_t, init_t[2],
+            guess_init_depth(j0, gt2d, config.body_tri_idxs, focal))
+        cam0 = jnp.where(has_init_t, init_t,
+                         jnp.asarray([0.0, 0.0, 1.0]) * est_d)
+
+        def camera_loss(p):
+            proj, _, _ = _forward_joints(
+                model, decoder, dec_params,
+                {**zeros_p, "cam_t": p["cam_t"],
+                 "global_orient": p["global_orient"]},
+                config.use_vposer, focal, center, vertex_ids, hand_bases)
+            err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
+            depth = config.depth_loss_weight ** 2 * \
+                (p["cam_t"][2] - est_d) ** 2
+            return err + depth
+
+        cam_res = opt.minimize(
+            camera_loss,
+            {"cam_t": cam0, "global_orient": jnp.zeros(3)})
+        cam_t0 = cam_res.params["cam_t"]
+        orient0 = cam_res.params["global_orient"]
+
+        R0 = rodrigues(orient0)
+        Rflip = rodrigues(jnp.asarray([0.0, jnp.pi, 0.0]))
+        orient1 = rotmat_to_axis_angle(R0 @ Rflip)
+        shoulder = jnp.linalg.norm(gt2d[2] - gt2d[5])
+        allow_flip = jnp.asarray(config.try_both_orient) | \
+            (shoulder < config.side_view_thsh)
+
+        def body_loss(p, w):
+            proj, body_R, state = _forward_joints(
+                model, decoder, dec_params, p, config.use_vposer, focal,
+                center, vertex_ids, hand_bases)
+            body63 = jnp.stack([
+                (body_R[:, 2, 1] - body_R[:, 1, 2]) / 2,
+                (body_R[:, 0, 2] - body_R[:, 2, 0]) / 2,
+                (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
+            ], axis=-1).reshape(-1)
+            weights = jw * conf if config.use_joints_conf else jw
+            weights = weights.at[25:].multiply(w["hand_joints"])
+            diff = priors_lib.gmof(gt2d - proj, config.rho)
+            joint_loss = jnp.sum(weights[:, None] ** 2 * diff) \
+                * w["data"] ** 2
+            if config.use_vposer:
+                pprior = jnp.sum(p["pose_embedding"] ** 2) \
+                    * w["body_pose"] ** 2
+            elif gmm_prior is not None:
+                pprior = priors_lib.max_mixture_prior(
+                    p["body_pose"], gmm_prior) * w["body_pose"] ** 2
+            else:
+                pprior = priors_lib.l2_prior(p["body_pose"]) \
+                    * w["body_pose"] ** 2
+            shape_loss = priors_lib.l2_prior(p["betas"]) * w["shape"] ** 2
+            bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
+            hands = (priors_lib.l2_prior(p["lhand"])
+                     + priors_lib.l2_prior(p["rhand"])) \
+                * w["hand_prior"] ** 2
+            total = joint_loss + pprior + shape_loss + bend + hands
+            if coll_fn is not None:
+                total = total + w["coll"] * coll_fn(state.verts)
+            return total
+
+        def run(orient):
+            p0 = {
+                "global_orient": orient.reshape(3),
+                "betas": jnp.zeros(10),
+                "cam_t": cam_t0,
+                "lhand": jnp.zeros(hand_dim),
+                "rhand": jnp.zeros(hand_dim),
+            }
+            if config.use_vposer:
+                p0["pose_embedding"] = jnp.zeros(32)
+            else:
+                p0["body_pose"] = jnp.zeros(63)
+
+            def step(p, w):
+                res = opt.minimize(functools.partial(body_loss, w=w), p)
+                return res.params, res.loss
+
+            p, stage_losses = jax.lax.scan(step, p0, ws)
+            return p, stage_losses[-1]
+
+        p_a, l_a = run(orient0)
+        p_b, l_b = run(orient1)
+        use_b = allow_flip & (l_b < l_a)
+        p = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_b, b, a), p_a, p_b)
+        loss = jnp.where(use_b, l_b, l_a)
+
+        if config.use_vposer:
+            body63 = vposer_lib.decode_to_axis_angle(
+                decoder, dec_params, p["pose_embedding"][None])[0]
+        else:
+            body63 = p["body_pose"]
+        pose156 = jnp.concatenate([
+            p["global_orient"].reshape(3),
+            jnp.reshape(body63, (63,)),
+            jnp.reshape(_hand_aa(p, "lhand", hand_bases[0]), (45,)),
+            jnp.reshape(_hand_aa(p, "rhand", hand_bases[1]), (45,)),
+        ])
+        return {
+            "pose": pose156, "shape": p["betas"], "cam_t": p["cam_t"],
+            "emb": p.get("pose_embedding", jnp.zeros(32)), "loss": loss,
+        }
+
+    fitter = jax.jit(jax.vmap(fit_one))
+
+    inputs = (kps_all, centers, init_t_all, has_init)
+    if mesh is not None:
+        from tpubody.dist import mesh as mesh_lib
+        n_dev = len(mesh.devices.ravel())
+        inputs = tuple(mesh_lib.pad_frames(x, n_dev) for x in inputs)
+        inputs = mesh_lib.shard_frames(inputs, mesh)
+    out = jax.device_get(fitter(*inputs))
+
+    return FitBatchOutput(
+        pose=out["pose"][:N],
+        shape=out["shape"][:N],
+        camera_translation=out["cam_t"][:N],
+        camera_center=centers_np,
+        camera_fx=focal,
+        pose_embedding=out["emb"][:N],
+        loss=out["loss"][:N],
     )

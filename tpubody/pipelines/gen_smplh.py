@@ -188,6 +188,76 @@ def gen_smplh(
     return fit
 
 
+def gen_smplh_batch(
+    items,                                    # [(img, keyp, out_dir), ...]
+    model: Optional[params_lib.BodyModelParams] = None,
+    config: Optional[smplify.FitConfig] = None,
+    config_yaml: Optional[str] = None,
+    vposer_ckpt: Optional[str] = None,
+    save_artifacts: bool = True,
+    mesh=None,
+):
+    """Fit MANY (image, keypoints) pairs in one batched program.
+
+    The reference's batch driver loops gen_smplh serially over test dirs
+    (lib/gen_smplh.py:179-185, one GPU fit at a time); here all frames are
+    fitted in parallel by smplify.fit_frames — vmapped on one chip,
+    frame-sharded over a device ``mesh`` when given — then per-dir
+    artifacts are written exactly as the single-frame driver does.
+    Returns the list of FitResult in input order.
+    """
+    import cv2
+
+    config = config or load_config(config_yaml)
+    if model is None:
+        model_path = params_lib.default_model_path("smplh")
+        model = (params_lib.load(model_path) if model_path
+                 else params_lib.synthetic(n_joints=52, n_verts=6890,
+                                           seed=0))
+    dec_params = None
+    ckpt = vposer_ckpt or DEFAULT_VPOSER_CKPT
+    if config.use_vposer and os.path.exists(ckpt):
+        dec_params, _ = vposer_lib.load_torch_checkpoint(ckpt)
+
+    imgs, kps, centers = [], [], []
+    for img_path, keyp_path, out_dir in items:
+        img = cv2.imread(img_path)
+        H, W = img.shape[:2]
+        imgs.append(img)
+        centers.append([W / 2.0, H / 2.0])
+        kps.append(kp_lib.read_openpose_json(
+            keyp_path, use_hands=config.use_hands).keypoints)
+
+    batch = smplify.fit_frames(
+        model, np.stack(kps).astype(np.float32),
+        np.asarray(centers, np.float32), config,
+        dec_params=dec_params, mesh=mesh)
+
+    results = []
+    for i, (img_path, keyp_path, out_dir) in enumerate(items):
+        os.makedirs(out_dir, exist_ok=True)
+        dump_config(os.path.join(out_dir, "conf.yaml"), config)
+        single = smplify.FitOutput(
+            pose=batch.pose[i], shape=batch.shape[i],
+            camera_translation=batch.camera_translation[i],
+            camera_rotation=np.eye(3),
+            camera_center=batch.camera_center[i],
+            camera_fx=batch.camera_fx,
+            pose_embedding=batch.pose_embedding[i],
+            loss=float(batch.loss[i]))
+        fit = rec.FitResult(
+            shape=single.shape, pose=single.pose,
+            camera_center=single.camera_center,
+            camera_rotation=single.camera_rotation,
+            camera_translation=single.camera_translation,
+            camera_fx=single.camera_fx)
+        rec.save_fit_pickle(os.path.join(out_dir, "smplh.pkl"), fit)
+        if save_artifacts:
+            _save_fit_artifacts(out_dir, model, single, imgs[i], config)
+        results.append(fit)
+    return results
+
+
 def _save_fit_artifacts(out_path: str,
                         model: params_lib.BodyModelParams,
                         out: smplify.FitOutput,
