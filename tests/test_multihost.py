@@ -92,3 +92,6 @@ class TestTwoProcesses:
         s0 = np.load(tmp_path / "slice_0.npy")
         s1 = np.load(tmp_path / "slice_1.npy")
         assert s0.tolist() == [0, 12] and s1.tolist() == [12, 24]
+        # process-parallel animation: process 0 muxed the gathered clip
+        clip = tmp_path / "clip.mp4"
+        assert clip.exists() and clip.stat().st_size > 0

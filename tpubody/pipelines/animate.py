@@ -40,48 +40,29 @@ def animate_video(
     chunk: int = 8,
     mesh=None,
     window: Optional[int] = None,
+    multihost: bool = False,
 ) -> str:
-    """Render the avatar driven by the clip into an MP4 at ``out_path``."""
+    """Render the avatar driven by the clip into an MP4 at ``out_path``.
+
+    ``multihost=True`` in a ``jax.distributed`` cluster
+    (dist.multihost.initialize): each process skins and renders only its
+    ``process_frame_slice`` of the clip on its own devices, the rendered
+    frames all-gather across processes (DCN on a real pod — exactly the
+    SURVEY.md §5 video-assembly collective), and process 0 muxes the MP4.
+    Every process returns the out_path; only process 0 writes it.
+    """
     poses = clip.poses[::stride]
     trans = clip.trans[::stride]
     F = poses.shape[0]
-    if background is None:
-        background = np.ones((size, size, 3), np.float32)
-    bg = jnp.asarray(background, jnp.float32)
-    if bg.shape[:2] != (size, size):
-        raise ValueError("background must match the frame size")
-
-    colors = np.asarray(avatar.color, np.float64)
-    if colors.max() > 1.0 + 1e-6:
-        colors = colors / 255.0
-    colors_j = jnp.asarray(colors, jnp.float32)
-    faces_j = jnp.asarray(avatar.faces, jnp.int32)
-    cam = jnp.asarray(np.asarray(cam_t), jnp.float32)
+    if multihost and jax.process_count() > 1:
+        return _animate_video_multihost(
+            avatar, poses, trans, out_path, background, cam_t, size,
+            focal, fps or (clip.fps / stride), chunk, window)
+    render_block, chunk = _block_renderer(
+        avatar, background, cam_t, size, focal, window, chunk)
 
     # All-frame skinning in one program.
     verts_all = rigging.animate(avatar, poses, trans)
-
-    # Host-side render plan: tile spans + per-tile capacity for the fused
-    # Pallas rasterizer, and the few oversized faces routed to the fragment
-    # path (render/video.py::plan_tiled_render).  Frame sizes that don't
-    # tile into 8x128 blocks fall back to the fragment renderer.
-    tiled = size % 128 == 0
-    if tiled:
-        plan = video_lib.plan_tiled_render(
-            avatar.v_template, avatar.faces, np.asarray(cam_t), size, size,
-            focal)
-        sf_j = jnp.asarray(plan["small_faces"])
-        lf_j = (jnp.asarray(plan["large_faces"])
-                if plan["large_faces"].shape[0] else None)
-        # Coefficient-table HBM scales with frames x per-tile capacity;
-        # dense reconstructed avatars (high max_chunks) render in smaller
-        # frame chunks to keep the transient table bounded (~1.5 GB).
-        chunk = max(1, min(chunk, 256 // plan["max_chunks"]))
-    else:
-        if window is None:
-            window = video_lib.auto_window(
-                avatar.v_template, avatar.faces, np.asarray(cam_t),
-                size, size, focal)
 
     if mesh is not None:
         verts_all = mesh_lib.shard_frames(verts_all, mesh)
@@ -96,20 +77,116 @@ def animate_video(
                 block = jnp.concatenate(
                     [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
                     axis=0)
-            if tiled:
-                frames = video_lib.render_frames_tiled(
-                    block, sf_j, lf_j, faces_j, colors_j, cam, bg,
-                    height=size, width=size, focal=focal,
-                    max_chunks=plan["max_chunks"], span_x=plan["span_x"],
-                    span_y=plan["span_y"],
-                    large_window=plan["large_window"])
-            else:
-                frames = video_lib.render_frames(
-                    block, faces_j, colors_j, cam, bg,
-                    height=size, width=size, focal=focal, window=window)
-            frames_np = np.asarray(frames)  # device->host (uint8 if tiled)
+            frames_np = render_block(block)  # device->host
             for i in range(n):
                 writer.write(frames_np[i])
+    return out_path
+
+
+def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
+    """Shared per-chunk frame renderer: returns (render_block, chunk).
+
+    Host-side render plan: tile spans + per-tile capacity for the fused
+    Pallas rasterizer, and the few oversized faces routed to the fragment
+    path (render/video.py::plan_tiled_render).  Frame sizes that don't
+    tile into 8x128 blocks fall back to the fragment renderer.
+    """
+    if background is None:
+        background = np.ones((size, size, 3), np.float32)
+    bg = jnp.asarray(background, jnp.float32)
+    if bg.shape[:2] != (size, size):
+        raise ValueError("background must match the frame size")
+
+    colors = np.asarray(avatar.color, np.float64)
+    if colors.max() > 1.0 + 1e-6:
+        colors = colors / 255.0
+    colors_j = jnp.asarray(colors, jnp.float32)
+    faces_j = jnp.asarray(avatar.faces, jnp.int32)
+    cam = jnp.asarray(np.asarray(cam_t), jnp.float32)
+
+    tiled = size % 128 == 0
+    if tiled:
+        plan = video_lib.plan_tiled_render(
+            avatar.v_template, avatar.faces, np.asarray(cam_t), size, size,
+            focal)
+        sf_j = jnp.asarray(plan["small_faces"])
+        lf_j = (jnp.asarray(plan["large_faces"])
+                if plan["large_faces"].shape[0] else None)
+        # Coefficient-table HBM scales with frames x per-tile capacity;
+        # dense reconstructed avatars (high max_chunks) render in smaller
+        # frame chunks to keep the transient table bounded (~1.5 GB).
+        chunk = max(1, min(chunk, 256 // plan["max_chunks"]))
+
+        def render_block(block):
+            return np.asarray(video_lib.render_frames_tiled(
+                block, sf_j, lf_j, faces_j, colors_j, cam, bg,
+                height=size, width=size, focal=focal,
+                max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+                span_y=plan["span_y"],
+                large_window=plan["large_window"]))
+    else:
+        if window is None:
+            window = video_lib.auto_window(
+                avatar.v_template, avatar.faces, np.asarray(cam_t),
+                size, size, focal)
+
+        def render_block(block):
+            return np.asarray(video_lib.render_frames(
+                block, faces_j, colors_j, cam, bg,
+                height=size, width=size, focal=focal, window=window))
+
+    return render_block, chunk
+
+
+def _animate_video_multihost(avatar, poses, trans, out_path, background,
+                             cam_t, size, focal, fps, chunk, window) -> str:
+    """Process-parallel animation: each process renders its frame slice on
+    its own devices; rendered frames all-gather (DCN on a real pod) and
+    process 0 muxes the MP4 (SURVEY.md §5 video-assembly collective)."""
+    from jax.experimental import multihost_utils
+
+    from tpubody.dist import multihost as mh
+
+    render_block, chunk = _block_renderer(
+        avatar, background, cam_t, size, focal, window, chunk)
+
+    F = poses.shape[0]
+    nproc = jax.process_count()
+    per = -(-F // nproc)                       # lockstep per-process length
+    start, stop = mh.process_frame_slice(F)
+    local_poses = np.asarray(poses[start:stop])
+    local_trans = np.asarray(trans[start:stop])
+    n_local = local_poses.shape[0]
+    if n_local < per:                          # tail process pads; trimmed
+        reps = per - n_local                   # after the gather
+        src_p = local_poses[-1:] if n_local else np.zeros_like(poses[:1])
+        src_t = local_trans[-1:] if n_local else np.zeros_like(trans[:1])
+        local_poses = np.concatenate(
+            [local_poses, np.repeat(src_p, reps, axis=0)], axis=0)
+        local_trans = np.concatenate(
+            [local_trans, np.repeat(src_t, reps, axis=0)], axis=0)
+
+    verts_local = rigging.animate(avatar, local_poses, local_trans)
+    blocks = []
+    for s in range(0, per, chunk):
+        block = verts_local[s:s + chunk]
+        n = block.shape[0]
+        if n < chunk:
+            block = jnp.concatenate(
+                [block, jnp.repeat(block[-1:], chunk - n, axis=0)], axis=0)
+        blocks.append(render_block(block)[:n])
+    local_frames = np.concatenate(blocks, axis=0)[:per]
+
+    # (nproc * per, H, W, 3) in process order; only the LAST process's
+    # slice is padded, so [:F] is the in-order clip.
+    gathered = np.asarray(multihost_utils.process_allgather(
+        local_frames, tiled=True))
+    if jax.process_index() == 0:
+        with video_lib.VideoWriter(out_path, fps=fps,
+                                   size=(size, size)) as writer:
+            for i in range(F):
+                writer.write(gathered[i])
+    multihost_utils.sync_global_devices("tpubody_animate_multihost")
     return out_path
 
 
