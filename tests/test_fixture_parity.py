@@ -135,6 +135,54 @@ class TestFixtureReconstruct:
         assert (tmp_path / "out.ply").exists()
 
 
+class TestAllFixtureConfigs:
+    def test_every_fixture_conf_yaml_loads_fully(self):
+        """All three golden fixture configs round-trip through load_config
+        with zero silently-dropped keys (it raises on unknowns)."""
+        from tpubody.pipelines import gen_smplh as gen_lib
+        for d in ("test01", "test02", "test03_1024"):
+            p = f"/root/reference/data/tests/{d}/conf.yaml"
+            if not os.path.exists(p):
+                continue
+            cfg = gen_lib.load_config(p)
+            assert cfg.focal_length > 0
+            assert len(cfg.body_pose_prior_weights) >= 1, d
+
+
+class TestMotionFixtures:
+    """The real motion-clip fixtures parse with the reference's formats
+    (read_amsass lib/model2video.py:527-531; read_mixamo
+    lib/model2video_miaxmo.py:544-550)."""
+
+    def test_real_amass_clips_parse(self):
+        import glob
+
+        from tpubody.io import motion as motion_lib
+        clips = sorted(glob.glob("/root/reference/data/amsass/*.npz"))
+        if not clips:
+            pytest.skip("no AMASS fixtures present")
+        for p in clips:
+            clip = motion_lib.read_amass(p)
+            assert clip.poses.ndim == 3 and clip.poses.shape[1:] == (24, 3)
+            assert clip.trans.shape == (clip.poses.shape[0], 3)
+            assert np.isfinite(clip.poses).all()
+            # root translation is re-based to the first frame (:531)
+            np.testing.assert_allclose(clip.trans[0], 0.0, atol=1e-9)
+
+    def test_real_mixamo_clips_parse(self):
+        import glob
+
+        from tpubody.io import motion as motion_lib
+        pkls = sorted(glob.glob("/root/reference/data/mixamo/*/result.pkl"))
+        if not pkls:
+            pytest.skip("no mixamo fixtures present")
+        for p in pkls[:4]:
+            clip = motion_lib.read_mixamo(p)
+            assert clip.poses.shape[1:] == (24, 3)
+            assert np.isfinite(clip.poses).all()
+            assert clip.fps > 0
+
+
 def test_expected_intermediates_schema():
     """test02 carries expected J_3d.npy (24, 3) — schema check (numeric
     parity needs the stripped real body models)."""
