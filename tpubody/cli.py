@@ -57,6 +57,18 @@ def _cmd_gen_smplh_batch(args) -> int:
     return 0
 
 
+def _cmd_refine(args) -> int:
+    """HMR-warm-started SMPLify (SPIN-style regress-then-optimize)."""
+    from tpubody.pipelines import refine as refine_lib
+
+    refine_lib.refine(
+        [(args.img, args.keypoints, args.out)],
+        config_yaml=args.config, hmr_ckpt=args.hmr_ckpt)
+    print(f"wrote {os.path.join(args.out, 'smplh.pkl')} "
+          "(artifacts alongside)")
+    return 0
+
+
 def _cmd_reconstruct(args) -> int:
     from tpubody.models import params as params_lib
     from tpubody.pipelines import reconstruct as rec
@@ -318,6 +330,17 @@ def main(argv=None) -> int:
     p.add_argument("out")
     p.add_argument("--config", default=None, help="YAML config overrides")
     p.set_defaults(fn=_cmd_gen_smplh)
+
+    p = sub.add_parser(
+        "refine",
+        help="HMR-initialized SMPLify fit (regress-then-optimize)")
+    p.add_argument("img")
+    p.add_argument("keypoints")
+    p.add_argument("out")
+    p.add_argument("--config", default=None, help="YAML config overrides")
+    p.add_argument("--hmr-ckpt", default=None,
+                   help="torch HMR checkpoint to convert and use")
+    p.set_defaults(fn=_cmd_refine)
 
     p = sub.add_parser(
         "gen-smplh-batch",

@@ -259,16 +259,22 @@ def fit_frame(
     dec_params=None,
     rng: Optional[jax.Array] = None,
     init_cam_t: Optional[np.ndarray] = None,
+    init_params: Optional[dict] = None,
 ) -> FitOutput:
     """Fit SMPLH parameters to one frame's keypoints.
 
     ``init_cam_t`` overrides the limb-ratio depth heuristic
     (guess_init, reference fitting.py:36-110) with an external camera
     estimate — e.g. the HMR regressor's camera when SMPLify runs as a
-    refinement stage."""
+    refinement stage.  ``init_params`` optionally seeds any of
+    ``global_orient`` (3,), ``betas`` (10,), ``pose_embedding`` (32,) /
+    ``body_pose`` (63,), ``lhand``/``rhand`` — the SPIN-style
+    regress-then-optimize warm start (pipelines/refine.py)."""
     decoder = vposer_lib.VPoserDecoder()
     if dec_params is None:
         _, dec_params = vposer_lib.create_decoder(rng)
+    init_params = {k: jnp.asarray(np.asarray(v), jnp.float32)
+                   for k, v in (init_params or {}).items()}
 
     kps = jnp.asarray(keypoints, jnp.float32)
     gt2d = kps[:, :2]
@@ -323,7 +329,9 @@ def fit_frame(
         ftol=config.ftol, gtol=config.gtol)
 
     cam_res = jax.jit(lambda x0: opt.minimize(camera_loss, x0))(
-        {"cam_t": init_t, "global_orient": zeros_p["global_orient"]})
+        {"cam_t": init_t,
+         "global_orient": init_params.get("global_orient",
+                                          zeros_p["global_orient"])})
     cam_t0 = cam_res.params["cam_t"]
     orient0 = cam_res.params["global_orient"]
 
@@ -398,17 +406,18 @@ def fit_frame(
     for orient in orients:
         p = {
             "global_orient": jnp.asarray(orient, jnp.float32).reshape(3),
-            "betas": jnp.zeros(10),
+            "betas": init_params.get("betas", jnp.zeros(10)),
             "cam_t": cam_t0,
-            "lhand": jnp.zeros(hand_dim),
-            "rhand": jnp.zeros(hand_dim),
+            "lhand": init_params.get("lhand", jnp.zeros(hand_dim)),
+            "rhand": init_params.get("rhand", jnp.zeros(hand_dim)),
         }
         # Only the live pose parameterization is optimized: the latent
         # embedding under VPoser, raw 63-dim axis-angle otherwise.
         if config.use_vposer:
-            p["pose_embedding"] = jnp.zeros(32)
+            p["pose_embedding"] = init_params.get("pose_embedding",
+                                                  jnp.zeros(32))
         else:
-            p["body_pose"] = jnp.zeros(63)
+            p["body_pose"] = init_params.get("body_pose", jnp.zeros(63))
         p, stage_losses = run_stages(p)
         loss_val = float(stage_losses[-1])
         if best is None or loss_val < best[0]:
@@ -459,6 +468,7 @@ def fit_frames(
     dec_params=None,
     rng: Optional[jax.Array] = None,
     init_cam_t: Optional[np.ndarray] = None,   # (N, 3)
+    init_params: Optional[dict] = None,        # leading N axis per entry
     mesh=None,
 ) -> FitBatchOutput:
     """Batched SMPLify: fit N frames of keypoints in ONE compiled program.
@@ -518,7 +528,18 @@ def fit_frames(
         "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
     }
 
-    def fit_one(kps, center, init_t, has_init_t):
+    # Per-frame warm starts (SPIN-style regress-then-optimize): any entry
+    # absent from init_params falls back to zeros.
+    ip = {k: jnp.asarray(np.asarray(v), jnp.float32)
+          for k, v in (init_params or {}).items()}
+    pose_dim = 32 if config.use_vposer else 63
+    pose_key = "pose_embedding" if config.use_vposer else "body_pose"
+    betas0_all = ip.get("betas", jnp.zeros((N, 10)))
+    pose0_all = ip.get(pose_key, jnp.zeros((N, pose_dim)))
+    orient0_all = ip.get("global_orient", jnp.zeros((N, 3)))
+
+    def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
+                orient_init):
         gt2d = kps[:, :2]
         conf = kps[:, 2]
 
@@ -545,7 +566,7 @@ def fit_frames(
 
         cam_res = opt.minimize(
             camera_loss,
-            {"cam_t": cam0, "global_orient": jnp.zeros(3)})
+            {"cam_t": cam0, "global_orient": orient_init})
         cam_t0 = cam_res.params["cam_t"]
         orient0 = cam_res.params["global_orient"]
 
@@ -592,15 +613,12 @@ def fit_frames(
         def run(orient):
             p0 = {
                 "global_orient": orient.reshape(3),
-                "betas": jnp.zeros(10),
+                "betas": betas_init,
                 "cam_t": cam_t0,
                 "lhand": jnp.zeros(hand_dim),
                 "rhand": jnp.zeros(hand_dim),
             }
-            if config.use_vposer:
-                p0["pose_embedding"] = jnp.zeros(32)
-            else:
-                p0["body_pose"] = jnp.zeros(63)
+            p0[pose_key] = pose_init
 
             def step(p, w):
                 res = opt.minimize(functools.partial(body_loss, w=w), p)
@@ -634,7 +652,8 @@ def fit_frames(
 
     fitter = jax.jit(jax.vmap(fit_one))
 
-    inputs = (kps_all, centers, init_t_all, has_init)
+    inputs = (kps_all, centers, init_t_all, has_init,
+              betas0_all, pose0_all, orient0_all)
     if mesh is not None:
         from tpubody.dist import mesh as mesh_lib
         n_dev = len(mesh.devices.ravel())

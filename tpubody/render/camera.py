@@ -85,6 +85,34 @@ def weak_perspective_translation(
     return jnp.stack([cam[..., 1], cam[..., 2], tz], axis=-1)
 
 
+def crop_cam_to_orig(
+    cam: jnp.ndarray,        # (..., 3) weak-persp (s, tx, ty) in the crop
+    center,                  # (..., 2) crop center in original pixels
+    scale,                   # (...,) HMR scale (crop side = 200*scale px)
+    focal_length: float,
+    img_center,              # (2,) original-image principal point
+) -> jnp.ndarray:
+    """HMR weak-perspective cam predicted on a ``scale_and_crop`` window ->
+    full-image perspective translation (tx, ty, tz) for a pinhole camera
+    with ``focal_length`` centered at ``img_center`` (the SPIN
+    convert_crop_cam_to_orig_img convention).
+
+    Derivation: the crop renders x_crop = 112*s*(X+tx) + 112; mapping crop
+    pixels back to the original image (side 200*scale, center ``center``)
+    and matching a perspective camera linearizes to
+    tz = f / (100*scale*s),  T_xy = t_xy + (center - img_center)*tz/f.
+    """
+    cam = jnp.asarray(cam, jnp.float32)
+    s = jnp.maximum(cam[..., 0], 1e-6)
+    scale = jnp.asarray(scale, jnp.float32)
+    tz = focal_length / (100.0 * scale * s)
+    off = (jnp.asarray(center, jnp.float32)
+           - jnp.asarray(img_center, jnp.float32)) \
+        * tz[..., None] / focal_length
+    return jnp.stack([cam[..., 1] + off[..., 0],
+                      cam[..., 2] + off[..., 1], tz], axis=-1)
+
+
 def estimate_translation(
     joints3d: jnp.ndarray,   # (N, 3)
     joints2d: jnp.ndarray,   # (N, 2) pixels
