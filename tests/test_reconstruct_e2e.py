@@ -106,6 +106,34 @@ def test_full_pipeline_runs(tmp_path):
 
 
 @pytest.mark.slow
+def test_full_pipeline_replace_hands_degrades_gracefully(tmp_path, capfd):
+    """replace_hands=True on geometry with degenerate wrists (the sphere
+    has nothing beyond the wrist planes) warns and keeps the original
+    hands instead of crashing mid-pipeline (was: argmin-of-empty)."""
+    H = W = 128
+    smplh = _sphere_body(52)
+    smpl = _sphere_body(24)
+    fit = rec.FitResult(
+        shape=np.zeros(10), pose=np.zeros(156),
+        camera_center=np.array([W / 2, H / 2], np.float64),
+        camera_rotation=np.eye(3),
+        camera_translation=np.array([0.0, 0.0, 12.0]),
+        camera_fx=1000.0)
+    yy, xx = np.mgrid[0:H, 0:W]
+    mask = ((((xx - W / 2) / 50.0) ** 2 + ((yy - H / 2) / 44.0) ** 2) < 1
+            ).astype(np.uint8) * 255
+    front_rgb = np.tile(np.array([180, 120, 90], np.uint8), (H, W, 1))
+    back_rgb = np.tile(np.array([90, 120, 180], np.uint8), (H, W, 1))
+
+    out = rec.reconstruct(front_rgb, back_rgb, mask, fit, smplh, smpl,
+                          out_dir=str(tmp_path), cache=True,
+                          replace_hands=True)
+    assert np.isfinite(out.avatar.v_template).all()
+    assert (tmp_path / "replace_hands_recover.pkl").exists()
+    assert "hand replacement skipped" in capfd.readouterr().err
+
+
+@pytest.mark.slow
 def test_pipeline_cache_resume(tmp_path):
     """Second run with identical inputs reuses cached stage artifacts."""
     H = W = 96

@@ -164,6 +164,13 @@ def replace_hands_mesh(
         track=body_cut1.boundary)
     l_bound = body_cut.tracked           # left-wrist cut boundary
     r_bound = body_cut.boundary
+    for name, b in (("smpl left", smpl_l_cut.boundary),
+                    ("smpl right", smpl_r_cut.boundary),
+                    ("body left", l_bound), ("body right", r_bound)):
+        if np.asarray(b).shape[0] < 3:
+            # Degenerate geometry (e.g. nothing beyond the wrist plane):
+            # bridging needs a cut boundary on both sides.
+            raise ValueError(f"wrist cut produced no {name} boundary")
 
     body_pts = body_cut.points
     n_body = body_pts.shape[0]
@@ -256,9 +263,15 @@ def replace_hands_mesh(
 
 
 def replace_hands(avatar: rigging.RiggedAvatar,
-                  smpl_model) -> rigging.RiggedAvatar:
+                  smpl_model,
+                  strict: bool = False) -> rigging.RiggedAvatar:
     """RecoverModel.replace_hands parity (lib/mesh2smpl_model.py:209-224):
-    graft SMPL hands onto the avatar's T-pose template."""
+    graft SMPL hands onto the avatar's T-pose template.
+
+    Degenerate wrist geometry (no section ring or no cut boundary — e.g.
+    a reconstruction with fused or missing hands) cannot be bridged; by
+    default the avatar is returned unchanged with a warning instead of
+    crashing mid-pipeline (``strict=True`` re-raises)."""
     import jax.numpy as jnp
     from tpubody.models import smpl as smpl_lib
 
@@ -273,9 +286,17 @@ def replace_hands(avatar: rigging.RiggedAvatar,
     body_points = np.concatenate(
         [avatar.v_template, avatar.color, avatar.weights], axis=1)
 
-    res = replace_hands_mesh(
-        body_points, avatar.faces, avatar.joints,
-        smpl_points, np.asarray(smpl_model.faces), smpl_J)
+    try:
+        res = replace_hands_mesh(
+            body_points, avatar.faces, avatar.joints,
+            smpl_points, np.asarray(smpl_model.faces), smpl_J)
+    except ValueError as exc:
+        if strict:
+            raise
+        import sys
+        print(f"WARNING: hand replacement skipped ({exc}); "
+              "keeping the original hands.", file=sys.stderr)
+        return avatar
 
     w = res.points[:, 6:30]
     w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
