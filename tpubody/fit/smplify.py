@@ -460,6 +460,224 @@ class FitBatchOutput(NamedTuple):
     loss: np.ndarray                # (N,)
 
 
+class BatchFitter:
+    """Reusable compiled batched SMPLify (the engine behind fit_frames).
+
+    Construct once per (model, config); every ``__call__`` with the same
+    batch size then reuses the already-compiled program — the cold compile
+    is minutes on a TPU host, so per-call closure rebuilds would recompile
+    every time.  ``fit_frames`` keeps a small identity-keyed cache of
+    these for the convenience-function path.
+    """
+
+    def __init__(self,
+                 model: params_lib.BodyModelParams,
+                 config: FitConfig = FitConfig(),
+                 dec_params=None,
+                 rng: Optional[jax.Array] = None):
+        decoder = vposer_lib.VPoserDecoder()
+        if dec_params is None:
+            _, dec_params = vposer_lib.create_decoder(rng)
+        self.model = model
+        self.config = config
+        self.dec_params = dec_params
+
+        jw = jnp.asarray(kp_lib.joint_weights(
+            config.joints_to_ign, config.use_hands), jnp.float32)
+        vertex_ids = joints_lib.extra_vertex_ids(model.num_verts)
+        hand_bases, hand_dim = _setup_hand_bases(model, config)
+        gmm_prior = _setup_gmm(config)
+        coll_fn = _setup_collision(model, config)
+        ws = _stage_weights(config)
+        focal = config.focal_length
+        init_idxs = jnp.asarray(config.init_joints_idxs)
+        self.hand_bases = hand_bases
+        self.pose_dim = 32 if config.use_vposer else 63
+        self.pose_key = "pose_embedding" if config.use_vposer \
+            else "body_pose"
+        pose_key = self.pose_key
+
+        from tpubody.core.rotations import rodrigues, rotmat_to_axis_angle
+        from tpubody.fit import optim as optim_lib
+        opt = optim_lib.create_optimizer(
+            config.optim_type, lr=config.lr, maxiters=config.maxiters,
+            ftol=config.ftol, gtol=config.gtol)
+
+        zeros_p = {
+            "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
+            "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(63),
+            "cam_t": jnp.zeros(3),
+            "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
+        }
+
+        def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
+                    orient_init):
+            gt2d = kps[:, :2]
+            conf = kps[:, 2]
+
+            # Frame-independent zero-pose joints: unbatched under vmap.
+            state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+            j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
+                                            vertex_ids=vertex_ids)
+            est_d = jnp.where(
+                has_init_t, init_t[2],
+                guess_init_depth(j0, gt2d, config.body_tri_idxs, focal))
+            cam0 = jnp.where(has_init_t, init_t,
+                             jnp.asarray([0.0, 0.0, 1.0]) * est_d)
+
+            def camera_loss(p):
+                proj, _, _ = _forward_joints(
+                    model, decoder, dec_params,
+                    {**zeros_p, "cam_t": p["cam_t"],
+                     "global_orient": p["global_orient"]},
+                    config.use_vposer, focal, center, vertex_ids, hand_bases)
+                err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
+                depth = config.depth_loss_weight ** 2 * \
+                    (p["cam_t"][2] - est_d) ** 2
+                return err + depth
+
+            cam_res = opt.minimize(
+                camera_loss,
+                {"cam_t": cam0, "global_orient": orient_init})
+            cam_t0 = cam_res.params["cam_t"]
+            orient0 = cam_res.params["global_orient"]
+
+            R0 = rodrigues(orient0)
+            Rflip = rodrigues(jnp.asarray([0.0, jnp.pi, 0.0]))
+            orient1 = rotmat_to_axis_angle(R0 @ Rflip)
+            shoulder = jnp.linalg.norm(gt2d[2] - gt2d[5])
+            allow_flip = jnp.asarray(config.try_both_orient) | \
+                (shoulder < config.side_view_thsh)
+
+            def body_loss(p, w):
+                proj, body_R, state = _forward_joints(
+                    model, decoder, dec_params, p, config.use_vposer, focal,
+                    center, vertex_ids, hand_bases)
+                body63 = jnp.stack([
+                    (body_R[:, 2, 1] - body_R[:, 1, 2]) / 2,
+                    (body_R[:, 0, 2] - body_R[:, 2, 0]) / 2,
+                    (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
+                ], axis=-1).reshape(-1)
+                weights = jw * conf if config.use_joints_conf else jw
+                weights = weights.at[25:].multiply(w["hand_joints"])
+                diff = priors_lib.gmof(gt2d - proj, config.rho)
+                joint_loss = jnp.sum(weights[:, None] ** 2 * diff) \
+                    * w["data"] ** 2
+                if config.use_vposer:
+                    pprior = jnp.sum(p["pose_embedding"] ** 2) \
+                        * w["body_pose"] ** 2
+                elif gmm_prior is not None:
+                    pprior = priors_lib.max_mixture_prior(
+                        p["body_pose"], gmm_prior) * w["body_pose"] ** 2
+                else:
+                    pprior = priors_lib.l2_prior(p["body_pose"]) \
+                        * w["body_pose"] ** 2
+                shape_loss = priors_lib.l2_prior(p["betas"]) * w["shape"] ** 2
+                bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
+                hands = (priors_lib.l2_prior(p["lhand"])
+                         + priors_lib.l2_prior(p["rhand"])) \
+                    * w["hand_prior"] ** 2
+                total = joint_loss + pprior + shape_loss + bend + hands
+                if coll_fn is not None:
+                    total = total + w["coll"] * coll_fn(state.verts)
+                return total
+
+            def run(orient):
+                p0 = {
+                    "global_orient": orient.reshape(3),
+                    "betas": betas_init,
+                    "cam_t": cam_t0,
+                    "lhand": jnp.zeros(hand_dim),
+                    "rhand": jnp.zeros(hand_dim),
+                }
+                p0[pose_key] = pose_init
+
+                def step(p, w):
+                    res = opt.minimize(functools.partial(body_loss, w=w), p)
+                    return res.params, res.loss
+
+                p, stage_losses = jax.lax.scan(step, p0, ws)
+                return p, stage_losses[-1]
+
+            p_a, l_a = run(orient0)
+            p_b, l_b = run(orient1)
+            use_b = allow_flip & (l_b < l_a)
+            p = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(use_b, b, a), p_a, p_b)
+            loss = jnp.where(use_b, l_b, l_a)
+
+            if config.use_vposer:
+                body63 = vposer_lib.decode_to_axis_angle(
+                    decoder, dec_params, p["pose_embedding"][None])[0]
+            else:
+                body63 = p["body_pose"]
+            pose156 = jnp.concatenate([
+                p["global_orient"].reshape(3),
+                jnp.reshape(body63, (63,)),
+                jnp.reshape(_hand_aa(p, "lhand", hand_bases[0]), (45,)),
+                jnp.reshape(_hand_aa(p, "rhand", hand_bases[1]), (45,)),
+            ])
+            return {
+                "pose": pose156, "shape": p["betas"], "cam_t": p["cam_t"],
+                "emb": p.get("pose_embedding", jnp.zeros(32)), "loss": loss,
+            }
+
+        self._fitter = jax.jit(jax.vmap(fit_one))
+
+    def __call__(self,
+                 keypoints: np.ndarray,          # (N, 67, 3)
+                 camera_centers: np.ndarray,     # (N, 2) or (2,)
+                 init_cam_t: Optional[np.ndarray] = None,   # (N, 3)
+                 init_params: Optional[dict] = None,        # N-leading
+                 mesh=None) -> FitBatchOutput:
+        kps_all = jnp.asarray(np.asarray(keypoints, np.float32))
+        N = kps_all.shape[0]
+        centers_np = np.broadcast_to(
+            np.asarray(camera_centers, np.float32), (N, 2)).copy()
+        centers = jnp.asarray(centers_np)
+        if init_cam_t is None:
+            init_t_all = jnp.zeros((N, 3), jnp.float32)
+            has_init = jnp.zeros((N,), bool)
+        else:
+            init_t_all = jnp.asarray(
+                np.asarray(init_cam_t, np.float32)).reshape(N, 3)
+            has_init = jnp.ones((N,), bool)
+
+        # Per-frame warm starts (SPIN-style regress-then-optimize): any
+        # entry absent from init_params falls back to zeros.
+        ip = {k: jnp.asarray(np.asarray(v), jnp.float32)
+              for k, v in (init_params or {}).items()}
+        betas0_all = ip.get("betas", jnp.zeros((N, 10)))
+        pose0_all = ip.get(self.pose_key, jnp.zeros((N, self.pose_dim)))
+        orient0_all = ip.get("global_orient", jnp.zeros((N, 3)))
+
+        inputs = (kps_all, centers, init_t_all, has_init,
+                  betas0_all, pose0_all, orient0_all)
+        if mesh is not None:
+            from tpubody.dist import mesh as mesh_lib
+            n_dev = len(mesh.devices.ravel())
+            inputs = tuple(mesh_lib.pad_frames(x, n_dev) for x in inputs)
+            inputs = mesh_lib.shard_frames(inputs, mesh)
+        out = jax.device_get(self._fitter(*inputs))
+
+        return FitBatchOutput(
+            pose=out["pose"][:N],
+            shape=out["shape"][:N],
+            camera_translation=out["cam_t"][:N],
+            camera_center=centers_np,
+            camera_fx=self.config.focal_length,
+            pose_embedding=out["emb"][:N],
+            loss=out["loss"][:N],
+        )
+
+
+# Identity-keyed cache for the convenience path: fit_frames called twice
+# with the same (model, config, dec_params) objects reuses one compiled
+# program.  The fitter holds strong refs to its keys, so ids cannot be
+# recycled while an entry lives; an identity check guards the lookup.
+_FITTER_CACHE: dict = {}
+
+
 def fit_frames(
     model: params_lib.BodyModelParams,
     keypoints: np.ndarray,           # (N, 67, 3)
@@ -487,186 +705,20 @@ def fit_frames(
     flip is *selected* per-frame only where try_both_orient or the
     side-view shoulder test allows it, matching the reference's selection
     rule (fit_single_frame.py:337-356).
+
+    Repeated calls with the same ``model``/``config``/``dec_params``
+    objects reuse one compiled program (construct a :class:`BatchFitter`
+    directly for explicit control of that lifetime).
     """
-    decoder = vposer_lib.VPoserDecoder()
-    if dec_params is None:
-        _, dec_params = vposer_lib.create_decoder(rng)
-
-    kps_all = jnp.asarray(np.asarray(keypoints, np.float32))
-    N = kps_all.shape[0]
-    centers_np = np.broadcast_to(
-        np.asarray(camera_centers, np.float32), (N, 2)).copy()
-    centers = jnp.asarray(centers_np)
-    if init_cam_t is None:
-        init_t_all = jnp.zeros((N, 3), jnp.float32)
-        has_init = jnp.zeros((N,), bool)
-    else:
-        init_t_all = jnp.asarray(
-            np.asarray(init_cam_t, np.float32)).reshape(N, 3)
-        has_init = jnp.ones((N,), bool)
-
-    jw = jnp.asarray(kp_lib.joint_weights(
-        config.joints_to_ign, config.use_hands), jnp.float32)
-    vertex_ids = joints_lib.extra_vertex_ids(model.num_verts)
-    hand_bases, hand_dim = _setup_hand_bases(model, config)
-    gmm_prior = _setup_gmm(config)
-    coll_fn = _setup_collision(model, config)
-    ws = _stage_weights(config)
-    focal = config.focal_length
-    init_idxs = jnp.asarray(config.init_joints_idxs)
-
-    from tpubody.core.rotations import rodrigues, rotmat_to_axis_angle
-    from tpubody.fit import optim as optim_lib
-    opt = optim_lib.create_optimizer(
-        config.optim_type, lr=config.lr, maxiters=config.maxiters,
-        ftol=config.ftol, gtol=config.gtol)
-
-    zeros_p = {
-        "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
-        "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(63),
-        "cam_t": jnp.zeros(3),
-        "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
-    }
-
-    # Per-frame warm starts (SPIN-style regress-then-optimize): any entry
-    # absent from init_params falls back to zeros.
-    ip = {k: jnp.asarray(np.asarray(v), jnp.float32)
-          for k, v in (init_params or {}).items()}
-    pose_dim = 32 if config.use_vposer else 63
-    pose_key = "pose_embedding" if config.use_vposer else "body_pose"
-    betas0_all = ip.get("betas", jnp.zeros((N, 10)))
-    pose0_all = ip.get(pose_key, jnp.zeros((N, pose_dim)))
-    orient0_all = ip.get("global_orient", jnp.zeros((N, 3)))
-
-    def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
-                orient_init):
-        gt2d = kps[:, :2]
-        conf = kps[:, 2]
-
-        # Frame-independent zero-pose joints: unbatched under vmap.
-        state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
-        j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
-                                        vertex_ids=vertex_ids)
-        est_d = jnp.where(
-            has_init_t, init_t[2],
-            guess_init_depth(j0, gt2d, config.body_tri_idxs, focal))
-        cam0 = jnp.where(has_init_t, init_t,
-                         jnp.asarray([0.0, 0.0, 1.0]) * est_d)
-
-        def camera_loss(p):
-            proj, _, _ = _forward_joints(
-                model, decoder, dec_params,
-                {**zeros_p, "cam_t": p["cam_t"],
-                 "global_orient": p["global_orient"]},
-                config.use_vposer, focal, center, vertex_ids, hand_bases)
-            err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
-            depth = config.depth_loss_weight ** 2 * \
-                (p["cam_t"][2] - est_d) ** 2
-            return err + depth
-
-        cam_res = opt.minimize(
-            camera_loss,
-            {"cam_t": cam0, "global_orient": orient_init})
-        cam_t0 = cam_res.params["cam_t"]
-        orient0 = cam_res.params["global_orient"]
-
-        R0 = rodrigues(orient0)
-        Rflip = rodrigues(jnp.asarray([0.0, jnp.pi, 0.0]))
-        orient1 = rotmat_to_axis_angle(R0 @ Rflip)
-        shoulder = jnp.linalg.norm(gt2d[2] - gt2d[5])
-        allow_flip = jnp.asarray(config.try_both_orient) | \
-            (shoulder < config.side_view_thsh)
-
-        def body_loss(p, w):
-            proj, body_R, state = _forward_joints(
-                model, decoder, dec_params, p, config.use_vposer, focal,
-                center, vertex_ids, hand_bases)
-            body63 = jnp.stack([
-                (body_R[:, 2, 1] - body_R[:, 1, 2]) / 2,
-                (body_R[:, 0, 2] - body_R[:, 2, 0]) / 2,
-                (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
-            ], axis=-1).reshape(-1)
-            weights = jw * conf if config.use_joints_conf else jw
-            weights = weights.at[25:].multiply(w["hand_joints"])
-            diff = priors_lib.gmof(gt2d - proj, config.rho)
-            joint_loss = jnp.sum(weights[:, None] ** 2 * diff) \
-                * w["data"] ** 2
-            if config.use_vposer:
-                pprior = jnp.sum(p["pose_embedding"] ** 2) \
-                    * w["body_pose"] ** 2
-            elif gmm_prior is not None:
-                pprior = priors_lib.max_mixture_prior(
-                    p["body_pose"], gmm_prior) * w["body_pose"] ** 2
-            else:
-                pprior = priors_lib.l2_prior(p["body_pose"]) \
-                    * w["body_pose"] ** 2
-            shape_loss = priors_lib.l2_prior(p["betas"]) * w["shape"] ** 2
-            bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
-            hands = (priors_lib.l2_prior(p["lhand"])
-                     + priors_lib.l2_prior(p["rhand"])) \
-                * w["hand_prior"] ** 2
-            total = joint_loss + pprior + shape_loss + bend + hands
-            if coll_fn is not None:
-                total = total + w["coll"] * coll_fn(state.verts)
-            return total
-
-        def run(orient):
-            p0 = {
-                "global_orient": orient.reshape(3),
-                "betas": betas_init,
-                "cam_t": cam_t0,
-                "lhand": jnp.zeros(hand_dim),
-                "rhand": jnp.zeros(hand_dim),
-            }
-            p0[pose_key] = pose_init
-
-            def step(p, w):
-                res = opt.minimize(functools.partial(body_loss, w=w), p)
-                return res.params, res.loss
-
-            p, stage_losses = jax.lax.scan(step, p0, ws)
-            return p, stage_losses[-1]
-
-        p_a, l_a = run(orient0)
-        p_b, l_b = run(orient1)
-        use_b = allow_flip & (l_b < l_a)
-        p = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(use_b, b, a), p_a, p_b)
-        loss = jnp.where(use_b, l_b, l_a)
-
-        if config.use_vposer:
-            body63 = vposer_lib.decode_to_axis_angle(
-                decoder, dec_params, p["pose_embedding"][None])[0]
-        else:
-            body63 = p["body_pose"]
-        pose156 = jnp.concatenate([
-            p["global_orient"].reshape(3),
-            jnp.reshape(body63, (63,)),
-            jnp.reshape(_hand_aa(p, "lhand", hand_bases[0]), (45,)),
-            jnp.reshape(_hand_aa(p, "rhand", hand_bases[1]), (45,)),
-        ])
-        return {
-            "pose": pose156, "shape": p["betas"], "cam_t": p["cam_t"],
-            "emb": p.get("pose_embedding", jnp.zeros(32)), "loss": loss,
-        }
-
-    fitter = jax.jit(jax.vmap(fit_one))
-
-    inputs = (kps_all, centers, init_t_all, has_init,
-              betas0_all, pose0_all, orient0_all)
-    if mesh is not None:
-        from tpubody.dist import mesh as mesh_lib
-        n_dev = len(mesh.devices.ravel())
-        inputs = tuple(mesh_lib.pad_frames(x, n_dev) for x in inputs)
-        inputs = mesh_lib.shard_frames(inputs, mesh)
-    out = jax.device_get(fitter(*inputs))
-
-    return FitBatchOutput(
-        pose=out["pose"][:N],
-        shape=out["shape"][:N],
-        camera_translation=out["cam_t"][:N],
-        camera_center=centers_np,
-        camera_fx=focal,
-        pose_embedding=out["emb"][:N],
-        loss=out["loss"][:N],
-    )
+    key = (id(model), config, id(dec_params) if dec_params is not None
+           else None)
+    fitter = _FITTER_CACHE.get(key)
+    if (fitter is None or fitter.model is not model
+            or (dec_params is not None
+                and fitter.dec_params is not dec_params)):
+        if len(_FITTER_CACHE) > 8:      # bound baked-constant memory
+            _FITTER_CACHE.clear()
+        fitter = BatchFitter(model, config, dec_params=dec_params, rng=rng)
+        _FITTER_CACHE[key] = fitter
+    return fitter(keypoints, camera_centers, init_cam_t=init_cam_t,
+                  init_params=init_params, mesh=mesh)
