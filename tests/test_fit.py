@@ -291,6 +291,34 @@ class TestSmplify:
         assert np.isfinite(out.pose).all()
         assert np.isfinite(out.loss).all()
 
+    def test_fit_frames_reuses_compiled_fitter(self, monkeypatch):
+        """Same (model, config, dec_params) objects -> ONE BatchFitter
+        (one compile); a different model -> a fresh one."""
+        built = []
+
+        class Stub:
+            def __init__(self, model, config, dec_params=None, rng=None):
+                built.append(self)
+                self.model = model
+                self.config = config
+                self.dec_params = dec_params
+
+            def __call__(self, *a, **k):
+                return "out"
+
+        monkeypatch.setattr(smplify, "BatchFitter", Stub)
+        monkeypatch.setattr(smplify, "_FITTER_CACHE", {})
+        model = params_lib.synthetic(n_joints=52, n_verts=50, seed=0)
+        cfg = smplify.FitConfig()
+        kps = np.zeros((1, 67, 3), np.float32)
+        c = np.zeros(2)
+        assert smplify.fit_frames(model, kps, c, cfg) == "out"
+        assert smplify.fit_frames(model, kps, c, cfg) == "out"
+        assert len(built) == 1
+        other = params_lib.synthetic(n_joints=52, n_verts=50, seed=1)
+        smplify.fit_frames(other, kps, c, cfg)
+        assert len(built) == 2
+
     def test_guess_init_depth_scales_with_distance(self):
         j3 = jnp.asarray(np.random.default_rng(5).normal(size=(67, 3)),
                          jnp.float32)
