@@ -291,6 +291,39 @@ class TestSmplify:
         assert np.isfinite(out.pose).all()
         assert np.isfinite(out.loss).all()
 
+    @pytest.mark.slow
+    def test_fit_sequence_chained_tracks_motion(self):
+        """A 3-frame sequence with a smoothly sinking camera: the chained
+        fit reuses ONE compiled single-frame program and its recovered
+        camera depth moves monotonically with the keypoints."""
+        model = params_lib.synthetic(n_joints=52, n_verts=200, seed=0)
+        dec, dec_params = vposer_lib.create_decoder(jax.random.PRNGKey(1))
+        center = np.array([128.0, 128.0])
+        focal = 800.0
+        state = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        seq = []
+        txs = [-0.15, 0.0, 0.15]
+        for tx in txs:
+            proj = np.asarray(smplify._project(
+                j3, jnp.asarray([tx, 0.0, 4.0]), focal,
+                jnp.asarray(center)))
+            seq.append(np.concatenate([proj, np.ones((67, 1))], axis=1))
+        cfg = smplify.FitConfig(
+            focal_length=focal, maxiters=6, try_both_orient=False,
+            side_view_thsh=0.0,
+            data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+            shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+            hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+        out = smplify.fit_sequence(model, np.stack(seq), center, cfg,
+                                   dec_params=dec_params, chained=True)
+        assert out.pose.shape == (3, 156)
+        assert np.isfinite(out.loss).all()
+        x = out.camera_translation[:, 0]
+        assert x[0] < x[1] < x[2], x
+        # recovered lateral motion in the right ballpark of the truth
+        assert np.all(np.abs(x - np.asarray(txs)) < 0.1), x
+
     def test_fit_frames_reuses_compiled_fitter(self, monkeypatch):
         """Same (model, config, dec_params) objects -> ONE BatchFitter
         (one compile); a different model -> a fresh one."""

@@ -722,3 +722,59 @@ def fit_frames(
         _FITTER_CACHE[key] = fitter
     return fitter(keypoints, camera_centers, init_cam_t=init_cam_t,
                   init_params=init_params, mesh=mesh)
+
+
+def fit_sequence(
+    model: params_lib.BodyModelParams,
+    keypoints_seq: np.ndarray,       # (T, 67, 3)
+    camera_centers: np.ndarray,      # (T, 2) or (2,)
+    config: FitConfig = FitConfig(),
+    dec_params=None,
+    rng: Optional[jax.Array] = None,
+    chained: bool = True,
+    mesh=None,
+) -> FitBatchOutput:
+    """Video fitting: T keypoint frames -> per-frame SMPLH fits.
+
+    ``chained=True`` (default): each frame warm-starts from the previous
+    frame's solution (camera, orientation, shape, pose) — temporal
+    coherence for video, one compiled single-frame program reused T
+    times.  ``chained=False``: all frames fit independently in one
+    batched (mesh-shardable) program — maximum throughput, no coupling.
+    """
+    kps = np.asarray(keypoints_seq, np.float32)
+    T = kps.shape[0]
+    centers = np.broadcast_to(
+        np.asarray(camera_centers, np.float32), (T, 2))
+    if not chained:
+        return fit_frames(model, kps, centers, config,
+                          dec_params=dec_params, rng=rng, mesh=mesh)
+
+    fitter = BatchFitter(model, config, dec_params=dec_params, rng=rng)
+    pose_key = fitter.pose_key
+    outs = []
+    prev: Optional[FitBatchOutput] = None
+    for t in range(T):
+        ip = None
+        ict = None
+        if prev is not None:
+            ip = {
+                "global_orient": prev.pose[:, :3],
+                "betas": prev.shape,
+                pose_key: (prev.pose_embedding if config.use_vposer
+                           else prev.pose[:, 3:66]),
+            }
+            ict = prev.camera_translation
+        prev = fitter(kps[t:t + 1], centers[t:t + 1],
+                      init_cam_t=ict, init_params=ip)
+        outs.append(prev)
+    return FitBatchOutput(
+        pose=np.concatenate([o.pose for o in outs]),
+        shape=np.concatenate([o.shape for o in outs]),
+        camera_translation=np.concatenate(
+            [o.camera_translation for o in outs]),
+        camera_center=np.concatenate([o.camera_center for o in outs]),
+        camera_fx=config.focal_length,
+        pose_embedding=np.concatenate([o.pose_embedding for o in outs]),
+        loss=np.concatenate([o.loss for o in outs]),
+    )
