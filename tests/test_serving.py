@@ -189,3 +189,73 @@ class TestBucketRecompiles:
         shapes = {t[0] for t in traces}
         assert shapes <= {1, 2, 4}, shapes          # only bucket shapes
         assert len(traces) <= 3, traces             # one trace per bucket
+
+
+class TestPytreeRequests:
+    def test_dict_request_spec_roundtrip(self):
+        """Requests can be pytrees (dict of arrays), stacked per leaf and
+        sliced back per request."""
+        spec = {"a": jax.ShapeDtypeStruct((2,), jnp.float32),
+                "b": jax.ShapeDtypeStruct((3,), jnp.float32)}
+
+        def step(req):
+            return {"sum": req["a"].sum(axis=1) + req["b"].sum(axis=1),
+                    "a2": req["a"] * 2.0}
+
+        s = serving.InferenceServer(step, buckets=(1, 2),
+                                    max_delay_ms=5.0, request_spec=spec)
+        with s:
+            rng = np.random.default_rng(0)
+            reqs = [{"a": rng.normal(size=(2,)).astype(np.float32),
+                     "b": rng.normal(size=(3,)).astype(np.float32)}
+                    for _ in range(3)]
+            futs = [s.submit(r) for r in reqs]
+            for r, f in zip(reqs, futs):
+                out = f.result(timeout=30)
+                np.testing.assert_allclose(
+                    out["sum"], r["a"].sum() + r["b"].sum(), rtol=1e-5)
+                np.testing.assert_allclose(out["a2"], r["a"] * 2.0,
+                                           rtol=1e-6)
+
+    def test_structure_mismatch_rejected(self):
+        spec = {"a": jax.ShapeDtypeStruct((2,), jnp.float32)}
+        s = serving.InferenceServer(lambda req: req["a"], buckets=(1,),
+                                    request_spec=spec, warmup=False)
+        with pytest.raises(ValueError, match="structure"):
+            s.submit(np.zeros(2, np.float32))
+        with pytest.raises(ValueError, match="leaf shape"):
+            s.submit({"a": np.zeros(3, np.float32)})
+
+
+@pytest.mark.slow
+def test_fit_smplh_serving():
+    """Fitting-as-a-service: keypoint requests coalesce into one staged-fit
+    program; each future resolves to its own SMPLH fit."""
+    from tpubody.fit import smplify
+    from tpubody.models import params as params_lib
+
+    model = params_lib.synthetic(n_joints=52, n_verts=200, seed=0)
+    cfg = smplify.FitConfig(
+        focal_length=500.0, maxiters=2, try_both_orient=False,
+        side_view_thsh=0.0,
+        data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+        shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+        hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+    step, spec = serving.fit_smplh_step(model=model, config=cfg)
+    s = serving.InferenceServer(step, buckets=(2,), max_delay_ms=50.0,
+                                request_spec=spec)
+    rng = np.random.default_rng(0)
+    with s:
+        futs = []
+        for i in range(3):
+            kps = np.zeros((67, 3), np.float32)
+            kps[:, :2] = 128 + 40 * rng.normal(size=(67, 2))
+            kps[:, 2] = 1.0
+            futs.append(s.submit(
+                {"keypoints": kps,
+                 "center": np.array([128.0, 128.0], np.float32)}))
+        for f in futs:
+            out = f.result(timeout=600)
+            assert out["pose"].shape == (156,)
+            assert np.isfinite(np.asarray(out["pose"])).all()
+            assert np.isfinite(np.asarray(out["loss"]))

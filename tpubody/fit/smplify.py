@@ -624,6 +624,21 @@ class BatchFitter:
 
         self._fitter = jax.jit(jax.vmap(fit_one))
 
+    def apply(self, kps, centers, init_t=None, has_init=None,
+              betas0=None, pose0=None, orient0=None):
+        """Raw traced entry: batched device arrays in -> dict of arrays
+        out ({"pose","shape","cam_t","emb","loss"}, leading batch dim).
+        Usable INSIDE another jitted program (e.g. a serving step);
+        ``__call__`` is the host-convenience wrapper."""
+        B = kps.shape[0]
+        return self._fitter(
+            kps, centers,
+            jnp.zeros((B, 3)) if init_t is None else init_t,
+            jnp.zeros((B,), bool) if has_init is None else has_init,
+            jnp.zeros((B, 10)) if betas0 is None else betas0,
+            jnp.zeros((B, self.pose_dim)) if pose0 is None else pose0,
+            jnp.zeros((B, 3)) if orient0 is None else orient0)
+
     def __call__(self,
                  keypoints: np.ndarray,          # (N, 67, 3)
                  camera_centers: np.ndarray,     # (N, 2) or (2,)

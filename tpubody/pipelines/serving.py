@@ -55,6 +55,35 @@ def hmr_smpl_step(dtype=jnp.bfloat16, n_joints: int = 24,
     return step
 
 
+def fit_smplh_step(model=None, config=None, dec_params=None):
+    """Fitting-as-a-service: keypoint requests -> staged SMPLH fits.
+
+    Returns ``(step, request_spec)`` for :class:`InferenceServer`: each
+    request is ``{"keypoints": (67, 3) f32, "center": (2,) f32}`` (the
+    OpenPose layout fit.keypoints reads) and each response slice is the
+    per-request dict ``{"pose" (156,), "shape" (10,), "cam_t" (3,),
+    "emb" (32,), "loss" ()}``.
+
+    Keep ``buckets`` SMALL (e.g. ``(4,)``): every bucket compiles the
+    full staged-fit program once (minutes on a TPU host); warm dispatch
+    is sub-second per bucket (docs/STATUS.md production numbers).
+    """
+    from tpubody.fit import smplify
+    from tpubody.models import params as params_lib
+
+    model = model if model is not None else params_lib.load_or_synthetic(
+        "smplh", n_joints=52, n_verts=6890, seed=0)
+    config = config or smplify.FitConfig()
+    fitter = smplify.BatchFitter(model, config, dec_params=dec_params)
+
+    def step(req):
+        return fitter.apply(req["keypoints"], req["center"])
+
+    spec = {"keypoints": jax.ShapeDtypeStruct((67, 3), jnp.float32),
+            "center": jax.ShapeDtypeStruct((2,), jnp.float32)}
+    return step, spec
+
+
 class ServerStats:
     """Thread-safe rolling serving statistics."""
 
@@ -91,10 +120,10 @@ class ServerStats:
 
 
 class _Request:
-    __slots__ = ("image", "future", "t_submit")
+    __slots__ = ("value", "future", "t_submit")
 
-    def __init__(self, image: np.ndarray):
-        self.image = image
+    def __init__(self, value):
+        self.value = value                 # pytree matching the server spec
         self.future: Future = Future()
         self.t_submit = time.perf_counter()
 
@@ -104,12 +133,17 @@ class InferenceServer:
 
     Parameters
     ----------
-    step: images (B, H, W, C) -> pytree with leading batch dim.
+    step: batched request pytree -> pytree with leading batch dim.
     buckets: allowed batch sizes, ascending (requests pad up to the
         smallest bucket that fits; at most ``len(buckets)`` compiles).
     max_delay_ms: maximum time the OLDEST queued request waits for
         coalescing before a smaller batch is dispatched.
-    image_shape: per-request input shape (H, W, C).
+    image_shape: per-request input shape (H, W, C) for the default
+        single-image spec.
+    request_spec: optional pytree of ``jax.ShapeDtypeStruct`` describing
+        ONE request's inputs (no batch dim) — e.g. fit_smplh_step's
+        ``{"keypoints": (67, 3), "center": (2,)}``.  Requests are stacked
+        per leaf into the bucket batch.
     """
 
     def __init__(
@@ -121,6 +155,7 @@ class InferenceServer:
         warmup: bool = True,
         sharding: Optional[Any] = None,
         to_host: bool = True,
+        request_spec: Optional[Any] = None,
     ):
         """``sharding``: optional ``jax.sharding.Sharding`` for the batch
         axis (e.g. ``tpubody.dist.mesh.frames_sharding``) — batches land
@@ -143,6 +178,15 @@ class InferenceServer:
                 raise ValueError(
                     f"buckets {bad} not divisible by mesh size {n_dev}")
         self.image_shape = tuple(image_shape)
+        # Per-request input spec: any pytree of ShapeDtypeStructs (one
+        # request's leaves, WITHOUT the batch dim).  Default: a single
+        # float32 image of ``image_shape`` — the original API, where
+        # ``submit`` takes a bare ndarray.
+        self.request_spec = (request_spec if request_spec is not None
+                             else jax.ShapeDtypeStruct(self.image_shape,
+                                                       jnp.float32))
+        self._spec_leaves, self._spec_treedef = jax.tree_util.tree_flatten(
+            self.request_spec)
         self.max_delay = max_delay_ms / 1e3
         self.to_host = to_host
         self._step = jax.jit(step)
@@ -154,16 +198,22 @@ class InferenceServer:
             self.warmup()
 
     # -- lifecycle -------------------------------------------------------
-    def _put(self, images: np.ndarray):
+    def _put(self, batch_tree):
         if self.sharding is not None:
-            return jax.device_put(images, self.sharding)
-        return jnp.asarray(images)
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.sharding), batch_tree)
+        return jax.tree_util.tree_map(jnp.asarray, batch_tree)
+
+    def _zeros_batch(self, bucket: int):
+        return self._spec_treedef.unflatten([
+            np.zeros((bucket,) + tuple(l.shape), l.dtype)
+            for l in self._spec_leaves])
 
     def warmup(self) -> None:
         """Compile every bucket up front so no request pays a compile."""
         for b in self.buckets:
-            x = self._put(np.zeros((b,) + self.image_shape, np.float32))
-            jax.block_until_ready(self._step(x))
+            jax.block_until_ready(self._step(
+                self._put(self._zeros_batch(b))))
 
     def start(self) -> "InferenceServer":
         if self._thread is None:
@@ -185,20 +235,30 @@ class InferenceServer:
         self.stop()
 
     # -- client API ------------------------------------------------------
-    def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one image; the Future resolves to this request's slice
-        of the step output pytree (leading batch dim stripped)."""
-        img = np.asarray(image, np.float32)
-        if img.shape != self.image_shape:
+    def submit(self, value) -> Future:
+        """Enqueue one request (a pytree matching ``request_spec`` — a
+        bare image ndarray under the default spec); the Future resolves to
+        this request's slice of the step output pytree (leading batch dim
+        stripped)."""
+        leaves, treedef = jax.tree_util.tree_flatten(value)
+        if treedef != self._spec_treedef:
             raise ValueError(
-                f"expected {self.image_shape}, got {img.shape}")
-        req = _Request(img)
+                f"request structure {treedef} != spec {self._spec_treedef}")
+        cast = []
+        for leaf, spec in zip(leaves, self._spec_leaves):
+            arr = np.asarray(leaf, spec.dtype)
+            if arr.shape != tuple(spec.shape):
+                raise ValueError(
+                    f"expected leaf shape {tuple(spec.shape)}, "
+                    f"got {arr.shape}")
+            cast.append(arr)
+        req = _Request(treedef.unflatten(cast))
         self._q.put(req)
         return req.future
 
-    def __call__(self, image: np.ndarray):
+    def __call__(self, value):
         """Synchronous convenience wrapper."""
-        return self.submit(image).result()
+        return self.submit(value).result()
 
     # -- dispatch loop ---------------------------------------------------
     def _gather(self) -> List[_Request]:
@@ -246,11 +306,14 @@ class InferenceServer:
                           self.buckets[-1])
             # More requests than the largest bucket never happens:
             # _gather stops at buckets[-1].
-            images = np.zeros((bucket,) + self.image_shape, np.float32)
+            batch_tree = self._zeros_batch(bucket)
+            batch_leaves = jax.tree_util.tree_leaves(batch_tree)
             for i, r in enumerate(batch):
-                images[i] = r.image
+                for dst, src in zip(batch_leaves,
+                                    jax.tree_util.tree_leaves(r.value)):
+                    dst[i] = src
             try:
-                out = self._step(self._put(images))
+                out = self._step(self._put(batch_tree))
                 if self.to_host:
                     out = jax.tree_util.tree_map(np.asarray, out)
                 else:
