@@ -217,6 +217,55 @@ class TestTiledVideoPath:
         assert os.path.exists(out)
         assert os.path.getsize(out) > 500
 
+    def test_many_large_faces_bucket_bounded(self, monkeypatch):
+        """A mesh whose faces mostly exceed the tile span splits into
+        memory-bounded fragment buckets (was: one 41 GB rasterize call on
+        the test03 reconstruction) and still composites correctly."""
+        from tpubody.render import video as video_lib
+        import jax.numpy as jnp
+        # force bucket splitting at tiny sizes
+        monkeypatch.setattr(video_lib, "FRAG_BUDGET", 3 * 72 * 72)
+        rng = np.random.default_rng(0)
+        # 12 big triangles (~80px) in front of a small-face sphere
+        av = _sphere_avatar()
+        size, focal = 128, 300.0
+        # screen-plane here is world x-z; depth is cam_z - y, so y=0.6
+        # puts the occluders nearer than the whole sphere.
+        big_pts = []
+        big_faces = []
+        base = av.v_template.shape[0]
+        for i in range(12):
+            c = rng.uniform(-0.2, 0.0, 2)
+            big_pts += [[c[0], 0.6, c[1]], [c[0] + 0.5, 0.6, c[1]],
+                        [c[0], 0.6, c[1] + 0.5]]
+            big_faces.append([base + 3 * i, base + 3 * i + 1,
+                              base + 3 * i + 2])
+        verts = np.concatenate([av.v_template, np.asarray(big_pts)])
+        faces = np.concatenate([av.faces, np.asarray(big_faces, np.int64)])
+        colors = np.concatenate(
+            [av.color, np.tile([[1.0, 0.0, 0.0]], (36, 1))])
+        plan = video_lib.plan_tiled_render(
+            verts, faces, np.array([0.0, 0.0, 3.0]), size, size, focal)
+        assert len(plan["large_buckets"]) >= 2      # split, not one call
+        assert all(b.shape[0] * w * w <= 4 * video_lib.FRAG_BUDGET
+                   for b, w in zip(plan["large_buckets"],
+                                   plan["large_windows"]))
+        lb = tuple(jnp.asarray(b) for b in plan["large_buckets"])
+        img = np.asarray(video_lib.render_frames_tiled(
+            jnp.asarray(verts[None], jnp.float32),
+            jnp.asarray(plan["small_faces"]), lb,
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(colors, jnp.float32),
+            jnp.asarray([0.0, 0.0, 3.0], jnp.float32),
+            jnp.ones((size, size, 3), jnp.float32),
+            height=size, width=size, focal=focal,
+            max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+            span_y=plan["span_y"], large_windows=plan["large_windows"],
+            to_uint8=False))[0]
+        # the red occluders (nearer) won the depth test somewhere
+        red = (img[..., 0] > 0.5) & (img[..., 1] < 0.3)
+        assert red.sum() > 100
+
     def test_tiled_matches_fragment_renderer(self):
         """Same avatar/pose through render_frames_tiled and the fragment
         render_frames must produce (nearly) the same image."""
@@ -234,13 +283,12 @@ class TestTiledVideoPath:
         plan = video_lib.plan_tiled_render(
             av.v_template, av.faces, np.array([0.0, 0.0, 3.0]),
             size, size, focal)
-        lf = (jnp.asarray(plan["large_faces"])
-              if plan["large_faces"].shape[0] else None)
+        lb = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
         tiled = np.asarray(video_lib.render_frames_tiled(
-            vj, jnp.asarray(plan["small_faces"]), lf, fj, colors, cam, bg,
+            vj, jnp.asarray(plan["small_faces"]), lb, fj, colors, cam, bg,
             height=size, width=size, focal=focal,
             max_chunks=plan["max_chunks"], span_x=plan["span_x"],
-            span_y=plan["span_y"], large_window=plan["large_window"],
+            span_y=plan["span_y"], large_windows=plan["large_windows"],
             to_uint8=False))[0]
         w = video_lib.auto_window(av.v_template, av.faces,
                                   np.array([0.0, 0.0, 3.0]), size, size,

@@ -110,8 +110,7 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
             avatar.v_template, avatar.faces, np.asarray(cam_t), size, size,
             focal)
         sf_j = jnp.asarray(plan["small_faces"])
-        lf_j = (jnp.asarray(plan["large_faces"])
-                if plan["large_faces"].shape[0] else None)
+        lb_j = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
         # Coefficient-table HBM scales with frames x per-tile capacity;
         # dense reconstructed avatars (high max_chunks) render in smaller
         # frame chunks to keep the transient table bounded (~1.5 GB).
@@ -119,11 +118,11 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
 
         def render_block(block):
             return np.asarray(video_lib.render_frames_tiled(
-                block, sf_j, lf_j, faces_j, colors_j, cam, bg,
+                block, sf_j, lb_j, faces_j, colors_j, cam, bg,
                 height=size, width=size, focal=focal,
                 max_chunks=plan["max_chunks"], span_x=plan["span_x"],
                 span_y=plan["span_y"],
-                large_window=plan["large_window"]))
+                large_windows=plan["large_windows"]))
     else:
         if window is None:
             window = video_lib.auto_window(
@@ -235,8 +234,7 @@ def orbit_video(
         plan = video_lib.plan_tiled_render(
             frames[0], avatar.faces, np.asarray(cam_t), size, size, focal)
         sf_j = jnp.asarray(plan["small_faces"])
-        lf_j = (jnp.asarray(plan["large_faces"])
-                if plan["large_faces"].shape[0] else None)
+        lb_j = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
         chunk = max(1, min(chunk, 256 // plan["max_chunks"]))
     with writer:
         for s0 in range(0, n_frames, chunk):
@@ -248,11 +246,11 @@ def orbit_video(
                     axis=0)
             if tiled:
                 imgs = video_lib.render_frames_tiled(
-                    block, sf_j, lf_j, faces_j, colors_j, cam, bg,
+                    block, sf_j, lb_j, faces_j, colors_j, cam, bg,
                     height=size, width=size, focal=focal,
                     max_chunks=plan["max_chunks"], span_x=plan["span_x"],
                     span_y=plan["span_y"],
-                    large_window=plan["large_window"])
+                    large_windows=plan["large_windows"])
             else:
                 imgs = video_lib.render_frames(
                     block, faces_j, colors_j, cam, bg,

@@ -25,6 +25,10 @@ from tpubody.render import raster as raster_lib
 DEFAULT_SIZE = 1024
 DEFAULT_FOCAL = 2500.0
 
+# Max fragments one large-face rasterize call may materialize PER FRAME
+# (x frame-chunk x ~4 f32 arrays of transient memory).
+FRAG_BUDGET = 12_000_000
+
 # Rotate -pi/2 about x (the reference applies this to every frame's verts,
 # lib/model2video.py:302-304).
 _PRE_ROT = np.array([[1.0, 0, 0],
@@ -132,11 +136,11 @@ def render_frame_binned(
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
-                     "large_window", "to_uint8"))
+                     "large_windows", "to_uint8"))
 def render_frames_tiled(
     verts_seq: jnp.ndarray,    # (B, V, 3) posed vertices
     small_faces: jnp.ndarray,  # (Fs, 3) faces within the tile-span budget
-    large_faces: Optional[jnp.ndarray],   # (Fl, 3) oversized faces or None
+    large_buckets,             # tuple of (Fl_i, 3) face arrays, or None
     all_faces: jnp.ndarray,    # (F, 3) full topology (for vertex normals)
     colors: jnp.ndarray,       # (V, 3)
     cam_t: jnp.ndarray,
@@ -147,7 +151,7 @@ def render_frames_tiled(
     max_chunks: int = 8,
     span_x: int = 2,
     span_y: int = 5,
-    large_window: int = 256,
+    large_windows: Tuple[int, ...] = (),   # static; parallel to buckets
     to_uint8: bool = True,
 ) -> jnp.ndarray:
     """Batch-render frames through the fused tiled Pallas rasterizer.
@@ -155,8 +159,10 @@ def render_frames_tiled(
     ~35x faster than the fragment path at 1024^2 (no faces x window^2
     fragment blow-up, no per-pixel shading gathers).  Oversized faces
     (projected extent beyond the span budget) render through the fragment
-    path and depth-composite — body meshes have few or none.  Returns
-    (B, H, W, 3) uint8 (4x smaller host transfer) unless ``to_uint8=False``.
+    path in memory-bounded buckets (``plan_tiled_render`` sizes them) and
+    depth-composite — reconstructed avatars can have tens of thousands.
+    Returns (B, H, W, 3) uint8 (4x smaller host transfer) unless
+    ``to_uint8=False``.
     """
     from tpubody.render import pallas_raster as PR
 
@@ -175,12 +181,15 @@ def render_frames_tiled(
         screen, small_faces, attrs, height, width,
         max_chunks=max_chunks, span_x=span_x, span_y=span_y)
 
-    if large_faces is not None and int(large_faces.shape[0]) > 0:
+    for bf, bw in zip(large_buckets or (), large_windows):
+        if int(bf.shape[0]) == 0:
+            continue
         big = jax.vmap(
-            lambda s, a: raster_lib.rasterize(
-                s, large_faces, a, height, width, window=large_window)
+            lambda s, a, bf=bf, bw=bw: raster_lib.rasterize(
+                s, bf, a, height, width, window=bw)
         )(screen, attrs)
         take_big = big.depth < depth
+        depth = jnp.minimum(depth, big.depth)
         attr = jnp.where(take_big[..., None], big.attrs, attr)
         mask = mask | big.mask
 
@@ -250,10 +259,40 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
     if large.shape[0]:
         lw = float(ext[ext > small_bound].max())
         large_window = int(min(max(np.ceil(lw / 8) * 8 + 8, 32), 512))
+
+    # Fragment-path memory plan for the large class.  A single rasterize
+    # call materializes faces x window^2 fragments; a reconstructed avatar
+    # can have TENS OF THOUSANDS of over-span faces (measured 42k on the
+    # test03 1024^2 reconstruction — one unbucketed call wanted 41 GB).
+    # Bucket by extent into pow2 windows, then split each bucket so no
+    # call exceeds FRAG_BUDGET fragments per frame; calls composite by
+    # depth inside render_frames_tiled.
+    large_buckets, large_windows = [], []
+    frag_budget = FRAG_BUDGET
+    if large.shape[0]:
+        ext_l = ext[ext > small_bound]
+        lo = small_bound
+        for w in (64, 128, 256, 512):
+            win = int(min(w + 8, 512))
+            if w == 512:
+                sel = large[ext_l > lo]
+            else:
+                sel = large[(ext_l > lo) & (ext_l <= w)]
+            lo = w
+            if not sel.shape[0]:
+                continue
+            per_call = max(1, frag_budget // (win * win))
+            for s in range(0, sel.shape[0], per_call):
+                large_buckets.append(sel[s:s + per_call].astype(np.int32))
+                large_windows.append(win)
+            if w >= large_window:
+                break
     return dict(small_faces=small.astype(np.int32),
                 large_faces=large.astype(np.int32),
                 span_x=span_x, span_y=span_y, max_chunks=max_chunks,
-                large_window=large_window)
+                large_window=large_window,
+                large_buckets=large_buckets,
+                large_windows=tuple(large_windows))
 
 
 def auto_window(verts: np.ndarray, faces: np.ndarray, cam_t,
