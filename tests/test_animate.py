@@ -217,6 +217,15 @@ class TestTiledVideoPath:
         assert os.path.exists(out)
         assert os.path.getsize(out) > 500
 
+    def test_orbit_video_tiled_path(self, tmp_path):
+        """Tile-aligned orbit renders go through the tiled branch (plan +
+        bucketed large faces), not the fragment renderer."""
+        av = _sphere_avatar()
+        out = str(tmp_path / "orbit_tiled.mp4")
+        animate_lib.orbit_video(av, out, n_frames=4, size=128, focal=300.0,
+                                cam_t=np.array([0.0, 0.0, 3.0]), chunk=2)
+        assert os.path.exists(out) and os.path.getsize(out) > 400
+
     def test_many_large_faces_bucket_bounded(self, monkeypatch):
         """A mesh whose faces mostly exceed the tile span splits into
         memory-bounded fragment buckets (was: one 41 GB rasterize call on
