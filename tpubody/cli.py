@@ -90,8 +90,23 @@ def _cmd_reconstruct(args) -> int:
     return 0
 
 
-def _cmd_animate(args) -> int:
+def _load_clip(clip_path, asf=None, stride=1):
+    """Load a motion clip by extension: AMASS .npz, CMU .amc (+ --asf), or a
+    Mixamo result.pkl (which always plays at stride 1, model2video_miaxmo
+    convention).  Returns (MotionClip, effective stride)."""
     from tpubody.io import motion as motion_lib
+
+    if clip_path.endswith(".npz"):
+        return motion_lib.read_amass(clip_path), stride
+    if clip_path.endswith(".amc"):
+        if not asf:
+            raise SystemExit("--asf <skeleton.asf> is required for .amc clips")
+        from tpubody.io import asf as asf_lib
+        return asf_lib.read_amc(asf, clip_path), stride
+    return motion_lib.read_mixamo(clip_path), 1
+
+
+def _cmd_animate(args) -> int:
     from tpubody.mesh import rigging
     from tpubody.pipelines import animate
 
@@ -99,21 +114,30 @@ def _cmd_animate(args) -> int:
     if args.decimate:
         from tpubody.mesh import decimate
         avatar = decimate.decimate_avatar(avatar, target_verts=args.decimate)
-    if args.clip.endswith(".npz"):
-        clip = motion_lib.read_amass(args.clip)
-        stride = args.stride
-    elif args.clip.endswith(".amc"):
-        if not args.asf:
-            raise SystemExit("--asf <skeleton.asf> is required for .amc clips")
-        from tpubody.io import asf as asf_lib
-        clip = asf_lib.read_amc(args.asf, args.clip)
-        stride = args.stride
-    else:
-        clip = motion_lib.read_mixamo(args.clip)
-        stride = 1
+    clip, stride = _load_clip(args.clip, args.asf, args.stride)
     animate.animate_video(avatar, clip, args.out, size=args.size,
                           fps=args.fps, stride=stride,
                           cam_t=np.asarray([0.0, 0.0, args.cam_z]))
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_export_glb(args) -> int:
+    from tpubody.mesh import gltf as gltf_lib
+    from tpubody.mesh import rigging
+
+    avatar = rigging.load_avatar(args.avatar)
+    poses = trans = None
+    fps = args.fps
+    if args.clip:
+        clip, stride = _load_clip(args.clip, args.asf, args.stride)
+        poses = clip.poses[::stride]
+        trans = clip.trans[::stride]
+        if fps is None:
+            fps = clip.fps / stride
+    gltf_lib.export_avatar_glb(
+        args.out, avatar, poses=poses, trans=trans, fps=fps or 30.0,
+        max_influences=args.max_influences)
     print(f"wrote {args.out}")
     return 0
 
@@ -373,6 +397,24 @@ def main(argv=None) -> int:
     p.add_argument("--decimate", type=int, default=0,
                    help="cluster-decimate the avatar to ~N vertices first")
     p.set_defaults(fn=_cmd_animate)
+
+    p = sub.add_parser(
+        "export-glb",
+        help="export a rigged avatar (+ optional motion clip) as a "
+             "skinned glTF binary")
+    p.add_argument("avatar", help="rigged avatar pickle (or_recover.pkl)")
+    p.add_argument("out", help="output .glb")
+    p.add_argument("--clip", default=None,
+                   help="AMASS .npz, Mixamo result.pkl, or CMU .amc to "
+                        "embed as a glTF animation")
+    p.add_argument("--asf", default=None,
+                   help="ASF skeleton file (required for .amc clips)")
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--fps", type=float, default=None,
+                   help="animation sample rate (default: the clip's)")
+    p.add_argument("--max-influences", type=int, default=8,
+                   help="skin influences kept per vertex (vec4 sets)")
+    p.set_defaults(fn=_cmd_export_glb)
 
     p = sub.add_parser(
         "animate-batch",
