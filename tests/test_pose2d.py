@@ -77,8 +77,10 @@ class TestModel:
         assert err < 6.0     # within ~1.5 heatmap cells
 
     def test_masked_keypoints_do_not_contribute(self):
+        # shape-init: loss masking only needs some params, not trained ones,
+        # and the real init costs ~12 s of XLA:CPU compile.
         model, vs = pose2d.create_pose2d(
-            n_keypoints=2, features=8, image_size=32)
+            n_keypoints=2, features=8, image_size=32, init="shape")
         img = jnp.zeros((1, 32, 32, 3))
         kp_all = jnp.asarray([[[8.0, 8.0, 1.0], [20.0, 20.0, 0.0]]])
         logits = model.apply(vs, img)

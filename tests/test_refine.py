@@ -57,6 +57,7 @@ class TestCropCamToOrig:
 
 
 class TestWarmStart:
+    @pytest.mark.slow  # compiles the full staged fit (~30 s on 1-core CPU)
     def test_init_params_seed_survives_zero_gradient_fit(self):
         """With all loss weights zero the optimizer has nothing to move:
         the fitted pose/betas must be exactly the warm start."""

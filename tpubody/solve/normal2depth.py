@@ -207,7 +207,7 @@ def preprocess(normal_img: jnp.ndarray, mask: jnp.ndarray,
     return n, eroded
 
 
-@functools.partial(jax.jit, static_argnames=("maxiter", "precond"))
+@functools.partial(jax.jit, static_argnames=("precond",))
 def integrate(normals: jnp.ndarray, mask: jnp.ndarray,
               maxiter: int = 1500, tol: float = 1e-5,
               precond: str = "mg") -> jnp.ndarray:
