@@ -32,6 +32,9 @@ TARGET_FPS = 1000.0
 
 
 def main() -> None:
+    import sys
+    import traceback
+
     from tpubody.models import hmr as hmr_lib
     from tpubody.models import params as params_lib
     from tpubody.models import smpl as smpl_lib
@@ -41,43 +44,56 @@ def main() -> None:
 
     use_pallas = jax.default_backend() == "tpu"
 
-    @jax.jit
-    def step(images):
-        out = model.apply(variables, images)
-        # Fused Pallas LBS with per-image betas (shape blendshapes folded
-        # into the kernel's feature matmul).
-        verts = smpl_lib.forward_batch_verts(
-            body, out.rotmats, out.shape, None,
-            use_pallas=use_pallas, pose_is_rotmat=True)
-        return verts, out.cam
-
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
-
-    lbs_path = "pallas" if use_pallas else "xla"
-    try:
-        jax.block_until_ready(step(images))
-    except Exception as exc:
-        # Pallas path failed on this toolchain — fall back to the XLA LBS
-        # so the bench still reports the flagship number, but say so loudly
-        # and record the path in the JSON so a kernel regression is visible.
-        import sys
-        import traceback
-
-        print("WARNING: Pallas LBS kernel failed to compile/run; "
-              f"falling back to XLA LBS: {exc!r}", file=sys.stderr)
-        traceback.print_exc(file=sys.stderr)
-        lbs_path = "xla-fallback"
-
+    def make_step(pallas: bool):
         @jax.jit
-        def step(images):  # noqa: F811
+        def step(images):
             out = model.apply(variables, images)
+            # Fused Pallas LBS with per-image betas (shape blendshapes
+            # folded into the kernel's feature matmul).
             verts = smpl_lib.forward_batch_verts(
                 body, out.rotmats, out.shape, None,
-                use_pallas=False, pose_is_rotmat=True)
+                use_pallas=pallas, pose_is_rotmat=True)
             return verts, out.cam
-        jax.block_until_ready(step(images))
+        return step
+
+    rng = np.random.default_rng(0)
+
+    # Batch fallback ladder: 512 is the measured knee on this toolchain,
+    # but 640+ already SIGILLs the remote compiler — if a toolchain change
+    # pushes the crash down to 512, the bench must still report a number
+    # (at the smaller batch) rather than die.
+    step = None
+    batch = BATCH
+    lbs_path = "pallas" if use_pallas else "xla"
+    for batch in (BATCH, BATCH // 2, BATCH // 4):
+        images = jnp.asarray(
+            rng.normal(size=(batch, 224, 224, 3)).astype(np.float32))
+        try:
+            step = make_step(use_pallas)
+            jax.block_until_ready(step(images))
+            break
+        except Exception as exc:
+            print(f"WARNING: flagship step failed at batch {batch} on the "
+                  f"{lbs_path} LBS path: {exc!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            if use_pallas:
+                # Pallas kernel regression? Retry this batch on the XLA
+                # LBS before shrinking, and record the fallback in the
+                # JSON so the regression is visible.
+                try:
+                    step = make_step(False)
+                    jax.block_until_ready(step(images))
+                    lbs_path = "xla-fallback"
+                    break
+                except Exception as exc2:
+                    print(f"WARNING: XLA LBS also failed at batch {batch}: "
+                          f"{exc2!r}", file=sys.stderr)
+            step = None
+    if step is None:
+        raise RuntimeError("flagship step failed at every batch size")
+    if batch != BATCH:
+        print(f"WARNING: benchmarking at fallback batch {batch}",
+              file=sys.stderr)
 
     for _ in range(WARMUP - 1):
         jax.block_until_ready(step(images))
@@ -98,13 +114,14 @@ def main() -> None:
         jax.block_until_ready(in_flight.popleft())
     dt = time.perf_counter() - t0
 
-    fps = BATCH * ITERS / dt
+    fps = batch * ITERS / dt
     print(json.dumps({
         "metric": "hmr_smpl_inference_throughput",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / TARGET_FPS, 3),
         "lbs_path": lbs_path,
+        "batch": batch,
     }))
 
 

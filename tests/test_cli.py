@@ -25,6 +25,19 @@ def test_load_config_yaml_overrides(tmp_path):
     assert cfg.shape_weights == (1, 2, 3, 4, 5)
 
 
+def test_load_config_rejects_non_smplh_model_type(tmp_path):
+    """model_type smpl/smplx must fail loudly, not silently fit SMPLH
+    (reference smpl_config.py:83-84 choices)."""
+    p = str(tmp_path / "conf.yaml")
+    with open(p, "w") as f:
+        f.write("model_type: smpl\n")
+    with pytest.raises(ValueError, match="model_type"):
+        gen_lib.load_config(p)
+    with open(p, "w") as f:
+        f.write("model_type: smplh\n")
+    assert gen_lib.load_config(p).focal_length == 5000.0
+
+
 def test_dump_config_roundtrip(tmp_path):
     cfg = gen_lib.load_config(None, maxiters=11)
     p = str(tmp_path / "conf.yaml")

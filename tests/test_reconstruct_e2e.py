@@ -98,6 +98,11 @@ def test_full_pipeline_runs(tmp_path):
                  "out.ply"):
         assert (tmp_path / name).exists(), name
 
+    # The skinned GLB export parses and carries the avatar's skeleton.
+    from tpubody.mesh import gltf as gltf_lib
+    g, _ = gltf_lib.read_glb(str(tmp_path / "out.glb"))
+    assert len(g["skins"][0]["joints"]) == 24
+
     # The avatar animates.
     from tpubody.mesh import rigging
     frames = np.asarray(rigging.animate(

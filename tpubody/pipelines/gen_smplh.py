@@ -125,6 +125,16 @@ def load_config(yaml_path: Optional[str] = None,
             raise ValueError(
                 f"conf.yaml keys not understood (would be silently "
                 f"dropped): {sorted(unknown)}")
+        # The fit core is SMPLH (52-joint, 156-dim pose — the reference's
+        # live configuration, fit_smplh.yaml:17).  Refuse the smpl/smplx
+        # choices of smpl_config.py:83-84 instead of silently fitting
+        # SMPLH against a config that asked for something else.
+        mt = raw.get("model_type", "smplh")
+        if mt != "smplh":
+            raise ValueError(
+                f"model_type={mt!r} is not supported by the fit core "
+                "(smplh only); the reference pipeline also only ever "
+                "runs smplh")
     cfg.update(overrides)
     return smplify.FitConfig(**cfg)
 

@@ -185,6 +185,10 @@ def reconstruct(
                         else "or_recover.pkl"), avatar)
             meshio.write_ply(sc.path("out.ply"), res.points[:, :3],
                              res.faces, res.points[:, 3:6])
+            # Engine-ready skinned export of the rigged avatar alongside
+            # the pickle (beyond the reference's PLY/pickle-only surface).
+            from tpubody.mesh import gltf as gltf_lib
+            gltf_lib.export_avatar_glb(sc.path("out.glb"), avatar)
     return ReconstructResult(avatar=avatar, points=res.points,
                              faces=res.faces, joints3d=res.joints3d)
 
