@@ -324,6 +324,55 @@ class TestSmplify:
         # recovered lateral motion in the right ballpark of the truth
         assert np.all(np.abs(x - np.asarray(txs)) < 0.1), x
 
+    @pytest.mark.slow  # two staged-fit compiles (~1-2 min on 1-core CPU)
+    def test_fit_sequence_temporal_anchor_reduces_jitter(self):
+        """config.temporal_weight anchors each chained frame to the
+        previous solution: on a static subject with per-frame keypoint
+        noise, the anchored sequence shows strictly less frame-to-frame
+        pose jitter than plain warm-start chaining (both runs chained, so
+        the anchor term is the only difference)."""
+        import dataclasses
+        model = params_lib.synthetic(n_joints=52, n_verts=200, seed=0)
+        _, dec_params = vposer_lib.create_decoder(jax.random.PRNGKey(1))
+        center = np.array([128.0, 128.0])
+        focal = 800.0
+        rng = np.random.default_rng(5)
+        body63 = rng.normal(scale=0.2, size=63).astype(np.float32)
+        pose = jnp.concatenate(
+            [jnp.zeros(3), jnp.asarray(body63), jnp.zeros(90)]).reshape(52, 3)
+        state = smpl_lib.forward(model, pose, jnp.zeros(10))
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        proj = np.asarray(smplify._project(
+            j3, jnp.asarray([0.0, 0.0, 4.0]), focal, jnp.asarray(center)))
+        seq = np.stack([
+            np.concatenate(
+                [proj + rng.normal(scale=4.0, size=proj.shape),
+                 np.ones((67, 1))], axis=1)
+            for _ in range(4)]).astype(np.float32)
+        cfg = smplify.FitConfig(
+            focal_length=focal, maxiters=8, try_both_orient=False,
+            side_view_thsh=0.0, use_vposer=False,
+            data_weights=(1.0,), body_pose_prior_weights=(4.78,),
+            shape_weights=(5.0,), hand_pose_prior_weights=(404.0,),
+            hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+        cfg_smooth = dataclasses.replace(cfg, temporal_weight=200.0)
+
+        def jitter(out):
+            d = np.diff(out.pose[:, 3:66], axis=0)
+            return float(np.linalg.norm(d, axis=1).mean())
+
+        plain = smplify.fit_sequence(model, seq, center, cfg,
+                                     dec_params=dec_params, chained=True)
+        smooth = smplify.fit_sequence(model, seq, center, cfg_smooth,
+                                      dec_params=dec_params, chained=True)
+        assert np.isfinite(smooth.loss).all()
+        assert jitter(smooth) < jitter(plain), (jitter(smooth),
+                                                jitter(plain))
+        # Anchored fits still track the subject, not just the anchor:
+        # body pose stays in the neighborhood of the truth.
+        err = np.abs(smooth.pose[:, 3:66] - body63).mean()
+        assert err < 0.25, err
+
     def test_fit_frames_reuses_compiled_fitter(self, monkeypatch):
         """Same (model, config, dec_params) objects -> ONE BatchFitter
         (one compile); a different model -> a fresh one."""

@@ -83,6 +83,12 @@ class FitConfig:
     coll_mode: str = "sphere"
     coll_n_faces: int = 2048
     coll_cone_scale: float = 2.0
+    # Video fitting (fit_sequence, chained): quadratic anchor pulling each
+    # frame's pose / global orientation toward the previous frame's
+    # solution — temporal smoothing the reference has no counterpart for
+    # (it fits stills only).  0 disables; the anchor strength is a traced
+    # operand so enabling it per-frame reuses one compiled program.
+    temporal_weight: float = 0.0
 
 
 class FitOutput(NamedTuple):
@@ -511,7 +517,7 @@ class BatchFitter:
         }
 
         def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
-                    orient_init):
+                    orient_init, anchor_w):
             gt2d = kps[:, :2]
             conf = kps[:, 2]
 
@@ -580,6 +586,13 @@ class BatchFitter:
                 total = joint_loss + pprior + shape_loss + bend + hands
                 if coll_fn is not None:
                     total = total + w["coll"] * coll_fn(state.verts)
+                if config.temporal_weight > 0.0:
+                    # Anchor to the previous frame's solution (= this
+                    # frame's warm start in fit_sequence's chained mode);
+                    # anchor_w is 0 on unanchored frames.
+                    total = total + anchor_w * (
+                        jnp.sum((p[pose_key] - pose_init) ** 2)
+                        + jnp.sum((p["global_orient"] - orient_init) ** 2))
                 return total
 
             def run(orient):
@@ -625,7 +638,7 @@ class BatchFitter:
         self._fitter = jax.jit(jax.vmap(fit_one))
 
     def apply(self, kps, centers, init_t=None, has_init=None,
-              betas0=None, pose0=None, orient0=None):
+              betas0=None, pose0=None, orient0=None, anchor_w=None):
         """Raw traced entry: batched device arrays in -> dict of arrays
         out ({"pose","shape","cam_t","emb","loss"}, leading batch dim).
         Usable INSIDE another jitted program (e.g. a serving step);
@@ -637,13 +650,15 @@ class BatchFitter:
             jnp.zeros((B,), bool) if has_init is None else has_init,
             jnp.zeros((B, 10)) if betas0 is None else betas0,
             jnp.zeros((B, self.pose_dim)) if pose0 is None else pose0,
-            jnp.zeros((B, 3)) if orient0 is None else orient0)
+            jnp.zeros((B, 3)) if orient0 is None else orient0,
+            jnp.zeros((B,)) if anchor_w is None else anchor_w)
 
     def __call__(self,
                  keypoints: np.ndarray,          # (N, 67, 3)
                  camera_centers: np.ndarray,     # (N, 2) or (2,)
                  init_cam_t: Optional[np.ndarray] = None,   # (N, 3)
                  init_params: Optional[dict] = None,        # N-leading
+                 anchor_weight: Optional[np.ndarray] = None,  # (N,)
                  mesh=None) -> FitBatchOutput:
         kps_all = jnp.asarray(np.asarray(keypoints, np.float32))
         N = kps_all.shape[0]
@@ -666,8 +681,11 @@ class BatchFitter:
         pose0_all = ip.get(self.pose_key, jnp.zeros((N, self.pose_dim)))
         orient0_all = ip.get("global_orient", jnp.zeros((N, 3)))
 
+        anchor_all = (jnp.zeros((N,), jnp.float32) if anchor_weight is None
+                      else jnp.asarray(
+                          np.asarray(anchor_weight, np.float32)).reshape(N))
         inputs = (kps_all, centers, init_t_all, has_init,
-                  betas0_all, pose0_all, orient0_all)
+                  betas0_all, pose0_all, orient0_all, anchor_all)
         if mesh is not None:
             from tpubody.dist import mesh as mesh_lib
             n_dev = len(mesh.devices.ravel())
@@ -772,6 +790,7 @@ def fit_sequence(
     for t in range(T):
         ip = None
         ict = None
+        aw = None
         if prev is not None:
             ip = {
                 "global_orient": prev.pose[:, :3],
@@ -780,8 +799,11 @@ def fit_sequence(
                            else prev.pose[:, 3:66]),
             }
             ict = prev.camera_translation
+            # Temporal smoothing: anchor this frame's pose/orientation to
+            # the previous solution (config.temporal_weight; 0 = off).
+            aw = np.full((1,), config.temporal_weight, np.float32)
         prev = fitter(kps[t:t + 1], centers[t:t + 1],
-                      init_cam_t=ict, init_params=ip)
+                      init_cam_t=ict, init_params=ip, anchor_weight=aw)
         outs.append(prev)
     return FitBatchOutput(
         pose=np.concatenate([o.pose for o in outs]),
