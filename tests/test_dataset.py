@@ -101,6 +101,20 @@ class TestLoader:
         # device data is consumable by a jitted reduction
         assert np.isfinite(float(jnp.mean(b.images)))
 
+    def test_device_loader_never_drops_batches(self):
+        """Regression: the worker's end-of-data sentinel must never
+        displace a queued batch (a race that intermittently lost the
+        first batch when the producer finished before the consumer's
+        first get). Many fresh iterators, exact batch count each time."""
+        data = ds.ArrayDataset([
+            ds.preprocess_example(e, size=16)
+            for e in ds.synthetic_hmr_dataset(32, image_size=24, seed=7)
+            ._examples])
+        for trial in range(30):
+            loader = ds.DeviceLoader(data, batch_size=16, seed=trial,
+                                     prefetch=2)
+            assert len(list(loader)) == 2, trial
+
     @pytest.mark.slow
     def test_device_loader_feeds_train_step(self):
         """End-to-end: loader batches drive the sharded HMR train step."""

@@ -231,17 +231,16 @@ class DeviceLoader:
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                while True:
+                # Deliver the sentinel without ever displacing a real
+                # batch: block (with stop re-checks) until the consumer
+                # drains a slot.  An abandoned iterator sets `stop`, in
+                # which case no sentinel is needed.
+                while not stop.is_set():
                     try:
-                        q.put_nowait(self._DONE)
+                        q.put(self._DONE, timeout=0.1)
                         break
                     except queue.Full:
-                        if stop.is_set():
-                            break
-                        try:  # make room, then retry the sentinel
-                            q.get_nowait()
-                        except queue.Empty:
-                            pass
+                        continue
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
