@@ -275,6 +275,42 @@ class TestTiledVideoPath:
         red = (img[..., 0] > 0.5) & (img[..., 1] < 0.3)
         assert red.sum() > 100
 
+    def test_giant_face_beyond_512px_still_renders(self):
+        """A face whose projected extent exceeds the old 512 px window cap
+        renders through the frame-sized catch-all bucket instead of being
+        silently clipped."""
+        from tpubody.render import video as video_lib
+        import jax.numpy as jnp
+        size, focal = 128, 300.0
+        # One giant near triangle covering most of the frame (projected
+        # extent far over any ladder bucket) + a tiny far one so the
+        # small class is non-empty.
+        verts = np.array([
+            [-4.0, 1.0, -4.0], [4.0, 1.0, -4.0], [0.0, 1.0, 6.0],   # giant
+            [0.0, -1.0, 0.0], [0.05, -1.0, 0.0], [0.0, -1.0, 0.05],  # tiny
+        ])
+        faces = np.array([[0, 1, 2], [3, 4, 5]], np.int64)
+        colors = np.tile([[0.0, 1.0, 0.0]], (6, 1))
+        cam = np.array([0.0, 0.0, 3.0])
+        plan = video_lib.plan_tiled_render(verts, faces, cam, size, size,
+                                           focal)
+        assert plan["large_buckets"], "giant face must enter a bucket"
+        assert max(plan["large_windows"]) == size  # frame-sized catch-all
+        lb = tuple(jnp.asarray(b) for b in plan["large_buckets"])
+        img = np.asarray(video_lib.render_frames_tiled(
+            jnp.asarray(verts[None], jnp.float32),
+            jnp.asarray(plan["small_faces"]), lb,
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(colors, jnp.float32),
+            jnp.asarray(cam, jnp.float32),
+            jnp.zeros((size, size, 3), jnp.float32),
+            height=size, width=size, focal=focal,
+            max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+            span_y=plan["span_y"], large_windows=plan["large_windows"],
+            to_uint8=False))[0]
+        # The giant face actually covers the frame center.
+        assert img[size // 2, size // 2, 1] > 0.2
+
     def test_tiled_matches_fragment_renderer(self):
         """Same avatar/pose through render_frames_tiled and the fragment
         render_frames must produce (nearly) the same image."""

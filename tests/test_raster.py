@@ -142,3 +142,20 @@ def test_split_faces_padding():
     assert (sf[0] == [0, 1, 2]).all()
     assert (lf[0] == [3, 4, 5]).all()
     assert (sf[1:] == 0).all()
+
+
+def test_offscreen_bbox_anchor_clamped_into_screen():
+    """A face whose bbox min lies far offscreen must still rasterize its
+    visible part: the window anchor is clamped into the frame (an
+    unclamped anchor at x=-700 put the whole 64x64 lattice offscreen)."""
+    verts = jnp.asarray([[-700.0, -700.0, 1.0],
+                         [900.0, -700.0, 1.0],
+                         [100.0, 900.0, 1.0]])
+    faces = jnp.asarray([[0, 1, 2]])
+    attrs = jnp.ones((3, 1))
+    out = raster_lib.rasterize(verts, faces, attrs, 128, 128, window=64)
+    mask = np.asarray(out.mask)
+    # The clamped 64x64 window covers the top-left screen corner, which is
+    # deep inside this giant triangle.
+    assert mask[32, 32]
+    assert mask[:64, :64].mean() > 0.9

@@ -72,6 +72,18 @@ class TestServer:
         with pytest.raises(ValueError):
             server.submit(np.zeros((4, 4, 3), np.float32))
 
+    def test_stop_fails_pending_futures(self):
+        """Requests still queued when the server stops must resolve with
+        an error, not hang their clients forever."""
+        s = serving.InferenceServer(
+            double_step, image_shape=SHAPE, buckets=(1, 2, 4),
+            max_delay_ms=10.0)
+        # Never started: submissions sit in the queue.
+        f = s.submit(np.zeros(SHAPE, np.float32))
+        s.stop()
+        with pytest.raises(RuntimeError, match="stopped"):
+            f.result(timeout=5)
+
     def test_step_error_propagates(self):
         def bad_step(images):
             return jnp.linalg.cholesky(

@@ -227,6 +227,16 @@ class InferenceServer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        # Fail any requests still queued (submitted but never dispatched)
+        # so no client blocks forever on a future the loop will not serve.
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(
+                RuntimeError("InferenceServer stopped before this request "
+                             "was dispatched"))
 
     def __enter__(self):
         return self.start()

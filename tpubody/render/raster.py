@@ -94,8 +94,15 @@ def rasterize(
         face_ok = jnp.abs(area) > 1e-12
     inv_area = jnp.where(face_ok, 1.0 / jnp.where(face_ok, area, 1.0), 0.0)
 
-    # Window anchor: integer bbox corner per face.
+    # Window anchor: integer bbox corner per face, clamped into the screen
+    # so the window always covers the visible part of faces whose bbox
+    # extends (possibly far) offscreen — an unclamped negative anchor
+    # could place the whole lattice outside the frame.  With
+    # window >= max(height, width) the clamp guarantees FULL visible
+    # coverage regardless of projected bbox size.
     bb_min = jnp.floor(jnp.minimum(jnp.minimum(p0, p1), p2)).astype(jnp.int32)
+    hi = jnp.asarray([width - window, height - window], jnp.int32)
+    bb_min = jnp.clip(bb_min, jnp.minimum(0, hi), jnp.maximum(0, hi))
 
     # Candidate pixel lattice: (F, window, window, 2).
     wy = jax.lax.broadcasted_iota(jnp.int32, (window, window), 0)

@@ -271,22 +271,26 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
     frag_budget = FRAG_BUDGET
     if large.shape[0]:
         ext_l = ext[ext > small_bound]
+        full_win = int(max(height, width))
         lo = small_bound
-        for w in (64, 128, 256, 512):
-            win = int(min(w + 8, 512))
-            if w == 512:
+        for w in (64, 128, 256, 512, None):
+            if w is None:
+                # Catch-all: faces beyond 512 px render through a
+                # frame-sized window — the clamped anchor in
+                # raster.rasterize guarantees the visible part is fully
+                # covered no matter how large the projected bbox is.
                 sel = large[ext_l > lo]
+                win = full_win
             else:
                 sel = large[(ext_l > lo) & (ext_l <= w)]
-            lo = w
+                win = int(min(w + 8, full_win))
+                lo = w
             if not sel.shape[0]:
                 continue
             per_call = max(1, frag_budget // (win * win))
             for s in range(0, sel.shape[0], per_call):
                 large_buckets.append(sel[s:s + per_call].astype(np.int32))
                 large_windows.append(win)
-            if w >= large_window:
-                break
     return dict(small_faces=small.astype(np.int32),
                 large_faces=large.astype(np.int32),
                 span_x=span_x, span_y=span_y, max_chunks=max_chunks,
