@@ -75,3 +75,49 @@ def test_rotmat_to_axis_angle_roundtrip():
     aa = rot.rotmat_to_axis_angle(R)
     R2 = rot.rodrigues(aa)
     np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-5)
+
+
+class TestScipyOracle:
+    """Second, independent oracle: scipy.spatial.transform.Rotation must
+    agree with every conversion (axis-angle, quaternion, matrix)."""
+
+    def test_rodrigues_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(0)
+        aa = rng.normal(scale=1.2, size=(32, 3))
+        ours = np.asarray(rot.rodrigues(jnp.asarray(aa, jnp.float32)))
+        theirs = Rotation.from_rotvec(aa).as_matrix()
+        # rodrigues carries an epsilon guard inside sqrt (grad safety at
+        # theta=0) that perturbs the 7th decimal.
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_quat_to_rotmat_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(16, 4))
+        ours = np.asarray(rot.quat_to_rotmat(
+            jnp.asarray(q, jnp.float32)))
+        # ours is (w,x,y,z); scipy wants (x,y,z,w)
+        theirs = Rotation.from_quat(
+            np.concatenate([q[:, 1:], q[:, :1]], axis=1)).as_matrix()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_rotmat_to_axis_angle_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(2)
+        R = Rotation.from_rotvec(rng.normal(scale=0.9, size=(16, 3)))
+        ours = np.asarray(rot.rotmat_to_axis_angle(
+            jnp.asarray(R.as_matrix(), jnp.float32)))
+        np.testing.assert_allclose(ours, R.as_rotvec(), atol=1e-5)
+
+    def test_axis_angle_to_quat_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+        rng = np.random.default_rng(3)
+        aa = rng.normal(scale=1.1, size=(16, 3))
+        ours = np.asarray(rot.axis_angle_to_quat(
+            jnp.asarray(aa, jnp.float32)))
+        theirs = Rotation.from_rotvec(aa).as_quat()  # (x,y,z,w)
+        theirs_wxyz = np.concatenate([theirs[:, 3:], theirs[:, :3]], axis=1)
+        # Quaternions are sign-ambiguous; align signs before comparing.
+        sign = np.sign(np.sum(ours * theirs_wxyz, axis=1, keepdims=True))
+        np.testing.assert_allclose(ours, theirs_wxyz * sign, atol=1e-5)
