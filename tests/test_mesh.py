@@ -273,3 +273,77 @@ class TestStitchFuzz:
         assert res.faces.min() >= 0
         assert res.faces.max() < res.points.shape[0]
         assert np.isfinite(res.joints3d).all()
+
+
+class TestSlicingFuzz:
+    """Property fuzz of the attribute-carrying plane cut: for random
+    convex-ish tubes and random planes, the kept half must (a) lie in the
+    positive halfspace, (b) have its cut boundary on the plane, and (c)
+    only produce attributes inside the per-column input range (linear
+    interpolation along edges cannot extrapolate)."""
+
+    def _tube(self, rng, n_ax=6, n_circ=8):
+        xs = np.linspace(-1.0, 1.0, n_ax)
+        th = np.linspace(0, 2 * np.pi, n_circ, endpoint=False)
+        verts = np.array([[x, 0.4 * np.cos(t), 0.4 * np.sin(t)]
+                          for x in xs for t in th])
+        faces = []
+        for i in range(n_ax - 1):
+            for j in range(n_circ):
+                a = i * n_circ + j
+                b = i * n_circ + (j + 1) % n_circ
+                c = (i + 1) * n_circ + j
+                d = (i + 1) * n_circ + (j + 1) % n_circ
+                faces += [[a, b, c], [b, d, c]]
+        attrs = np.concatenate(
+            [verts, rng.uniform(0, 1, (verts.shape[0], 5))], axis=1)
+        return attrs, np.asarray(faces, np.int64)
+
+    def test_random_planes_keep_halfspace_invariants(self):
+        rng = np.random.default_rng(0)
+        for trial in range(25):
+            attrs, faces = self._tube(rng)
+            normal = rng.normal(size=3)
+            normal /= np.linalg.norm(normal)
+            origin = rng.uniform(-0.5, 0.5, 3)
+            cut = slicing.cut_faces_plane(attrs, faces, origin, normal)
+            if cut.faces.shape[0] == 0:
+                continue
+            used = np.unique(cut.faces)
+            pts = cut.points[used]
+            d = slicing.signed_distance(pts[:, :3], origin, normal)
+            assert d.min() > -1e-9, (trial, d.min())
+            # cut-edge vertices sit ON the plane
+            if len(cut.boundary) > 0:
+                db = slicing.signed_distance(
+                    cut.points[np.asarray(cut.boundary)][:, :3],
+                    origin, normal)
+                assert np.abs(db).max() < 1e-9, trial
+            # interpolation never extrapolates any attribute column
+            lo = attrs.min(axis=0) - 1e-9
+            hi = attrs.max(axis=0) + 1e-9
+            assert (cut.points >= lo).all() and (cut.points <= hi).all()
+
+    def test_complement_cuts_partition_area(self):
+        """Cutting with n and -n partitions total surface area (the split
+        triangles on each side tile the originals)."""
+        rng = np.random.default_rng(1)
+
+        def area(points, faces):
+            if faces.shape[0] == 0:
+                return 0.0
+            t = points[:, :3][faces]
+            return float(np.linalg.norm(
+                np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]),
+                axis=1).sum() / 2)
+
+        for trial in range(10):
+            attrs, faces = self._tube(rng)
+            normal = rng.normal(size=3)
+            normal /= np.linalg.norm(normal)
+            origin = rng.uniform(-0.4, 0.4, 3)
+            pos = slicing.cut_faces_plane(attrs, faces, origin, normal)
+            neg = slicing.cut_faces_plane(attrs, faces, origin, -normal)
+            total = area(attrs, faces)
+            got = area(pos.points, pos.faces) + area(neg.points, neg.faces)
+            np.testing.assert_allclose(got, total, rtol=1e-6)
