@@ -149,3 +149,33 @@ class TestStem:
                                               init="shape")
         assert variables["params"]["backbone"]["conv1"]["kernel"].shape == \
             (7, 7, 3, 64)
+
+
+def test_remat_backbone_matches_plain():
+    """remat=True recomputes activations but must produce identical
+    outputs AND gradients (same param tree, same math)."""
+    imgs = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 32, 32, 3)), jnp.float32)
+    kw = dict(dtype=jnp.float32, stage_sizes=(1, 1))
+    plain = hmr_lib.ResNet50(remat=False, **kw)
+    remat = hmr_lib.ResNet50(remat=True, **kw)
+    variables = plain.init(jax.random.PRNGKey(0), imgs)
+    # identical parameter trees (remat preserves module names/shapes)
+    v2 = remat.init(jax.random.PRNGKey(0), imgs)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+
+    out_p = plain.apply(variables, imgs)
+    out_r = remat.apply(variables, imgs)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               atol=1e-6)
+
+    def loss(params, model):
+        return jnp.sum(model.apply(
+            {**variables, "params": params}, imgs) ** 2)
+
+    g_p = jax.grad(loss)(variables["params"], plain)
+    g_r = jax.grad(loss)(variables["params"], remat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5), g_p, g_r)

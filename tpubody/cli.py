@@ -230,7 +230,8 @@ def _cmd_train_hmr(args) -> int:
             for i in range(n)])
 
     model = hmr_lib.HMR(mean_params=hmr_lib.default_mean_params(),
-                        n_iter=3, dtype=jnp.float32)
+                        n_iter=3, dtype=jnp.float32,
+                        remat=getattr(args, "remat", False))
     smpl = params_lib.synthetic(n_joints=24, n_verts=args.verts, seed=0)
     tx = optax.adam(args.lr)
     state = hmr_train.create_train_state(model, tx, image_size=args.size)
@@ -488,6 +489,9 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--verts", type=int, default=6890)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks on backward "
+                        "(less activation memory, larger batches)")
     p.set_defaults(fn=_cmd_train_hmr)
 
     args = parser.parse_args(argv)

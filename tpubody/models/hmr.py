@@ -107,6 +107,12 @@ class ResNet50(nn.Module):
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     stem: str = "conv7"
+    # Rematerialize bottleneck blocks on the backward pass: activations
+    # inside each block are recomputed instead of stored, trading ~1/3
+    # extra forward FLOPs for O(depth) less live activation memory —
+    # the standard lever for larger training batches per chip
+    # (jax.checkpoint; HBM is the binding constraint, SURVEY.md §7).
+    remat: bool = False
 
     def _stem_s2d(self, x, kernel):
         """Space-to-depth stem.  out[i,j] = sum_u,v x[2i+u-3, 2j+v-3] w[u,v]
@@ -149,12 +155,15 @@ class ResNet50(nn.Module):
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # train selects program structure (BN mode) — static under remat.
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
         for i, (n_blocks, feats) in enumerate(
                 zip(self.stage_sizes, (64, 128, 256, 512))):
             for j in range(n_blocks):
                 strides = 2 if (j == 0 and i > 0) else 1
-                x = Bottleneck(feats, strides=strides, dtype=self.dtype,
-                               name=f"layer{i + 1}_{j}")(x, train=train)
+                x = block_cls(feats, strides=strides, dtype=self.dtype,
+                              name=f"layer{i + 1}_{j}")(x, train)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
 
 
@@ -165,13 +174,15 @@ class HMR(nn.Module):
     n_iter: int = 3
     dtype: Any = jnp.float32
     stem: str = "conv7"
+    remat: bool = False   # see ResNet50.remat
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> HMROutput:
         """images: (B, 224, 224, 3) NHWC, normalized."""
         B = images.shape[0]
-        xf = ResNet50(dtype=self.dtype, stem=self.stem, name="backbone")(
-            images.astype(self.dtype), train=train)
+        xf = ResNet50(dtype=self.dtype, stem=self.stem, remat=self.remat,
+                      name="backbone")(images.astype(self.dtype),
+                                       train=train)
 
         mean = jnp.asarray(self.mean_params, jnp.float32)
         pose = jnp.broadcast_to(mean[:NPOSE], (B, NPOSE))
