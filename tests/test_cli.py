@@ -202,3 +202,46 @@ def test_cli_infer(tmp_path):
     assert sorted(os.listdir(out)) == ["img0.obj", "img1.obj", "params.npz"]
     z = np.load(os.path.join(out, "params.npz"))
     assert z["rotmats"].shape == (2, 24, 3, 3)
+
+
+@pytest.mark.slow
+def test_cli_fit_video_chain_to_animate(tmp_path):
+    """photos-of-motion workflow end to end: keypoint JSONs -> fit-video
+    (chained) -> result.pkl -> readable as an animate clip."""
+    import jax.numpy as jnp
+    from tpubody.fit import joints as joints_lib
+    from tpubody.fit import smplify
+    from tpubody.io import motion as motion_lib
+    from tpubody.models import params as params_lib
+    from tpubody.models import smpl as smpl_lib
+
+    model = params_lib.synthetic(n_joints=52, n_verts=400, seed=0)
+    state = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+    j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+    for t, tx in enumerate((-0.1, 0.1)):
+        proj = np.asarray(smplify._project(
+            j3, jnp.asarray([tx, 0.0, 4.0]), 800.0,
+            jnp.asarray([128.0, 128.0])))
+        kp_lib.write_openpose_json(
+            str(tmp_path / f"{t:03d}_keypoints.json"),
+            np.concatenate([proj, np.ones((67, 1))], axis=1))
+
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(
+        "focal_length: 800\nmaxiters: 4\nside_view_thsh: 0\n"
+        "data_weights: [1.0]\nbody_pose_prior_weights: [404.0]\n"
+        "shape_weights: [100.0]\nhand_pose_prior_weights: [404.0]\n"
+        "hand_joints_weights: [0.0]\ncoll_loss_weights: [0.0]\n")
+    out_npz = str(tmp_path / "fits.npz")
+    clip = str(tmp_path / "result.pkl")
+    from tpubody import cli
+    rc = cli.main([
+        "fit-video", str(tmp_path / "*_keypoints.json"), out_npz,
+        "--config", str(conf), "--temporal-weight", "50.0",
+        "--cx", "128", "--cy", "128", "--clip-out", clip, "--verts", "400"])
+    assert rc == 0
+    z = np.load(out_npz)
+    assert z["pose"].shape == (2, 156)
+    assert np.isfinite(z["loss"]).all()
+    mc = motion_lib.read_mixamo(clip)
+    assert mc.poses.shape == (2, 24, 3)

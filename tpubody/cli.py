@@ -122,6 +122,48 @@ def _cmd_animate(args) -> int:
     return 0
 
 
+def _cmd_fit_video(args) -> int:
+    """Fit a keypoint sequence (sorted OpenPose JSONs) with temporal
+    warm-start chaining + optional anchor smoothing; writes an .npz of
+    per-frame fits and optionally a Mixamo-format result.pkl that
+    `animate` consumes directly."""
+    import glob as glob_lib
+
+    from tpubody.fit import keypoints as kp_lib
+    from tpubody.fit import smplify
+    from tpubody.io import motion as motion_lib
+    from tpubody.models import params as params_lib
+    from tpubody.pipelines import gen_smplh as gen_lib
+
+    paths = sorted(glob_lib.glob(args.keypoints))
+    if not paths:
+        raise SystemExit(f"no keypoint files match {args.keypoints!r}")
+    kps = np.stack([kp_lib.read_openpose_json(p).keypoints for p in paths])
+
+    config = gen_lib.load_config(args.config)
+    if args.temporal_weight is not None:
+        import dataclasses
+        config = dataclasses.replace(
+            config, temporal_weight=args.temporal_weight)
+    model = params_lib.load_or_synthetic("smplh", n_joints=52,
+                                         n_verts=args.verts)
+    center = np.asarray([args.cx, args.cy], np.float64)
+    out = smplify.fit_sequence(model, kps.astype(np.float32), center,
+                               config, chained=not args.independent)
+    np.savez(args.out, pose=out.pose, shape=out.shape,
+             camera_translation=out.camera_translation,
+             camera_center=out.camera_center, loss=out.loss,
+             camera_fx=out.camera_fx)
+    print(f"wrote {args.out} ({out.pose.shape[0]} frames, "
+          f"mean loss {float(np.mean(out.loss)):.3f})")
+    if args.clip_out:
+        motion_lib.save_mixamo(
+            args.clip_out, out.pose[:, :72].reshape(-1, 24, 3),
+            cam=out.camera_translation, fps=args.fps)
+        print(f"wrote {args.clip_out} (animate-compatible clip)")
+    return 0
+
+
 def _cmd_export_glb(args) -> int:
     from tpubody.mesh import gltf as gltf_lib
     from tpubody.mesh import rigging
@@ -406,6 +448,30 @@ def main(argv=None) -> int:
     p.add_argument("--decimate", type=int, default=0,
                    help="cluster-decimate the avatar to ~N vertices first")
     p.set_defaults(fn=_cmd_animate)
+
+    p = sub.add_parser(
+        "fit-video",
+        help="fit a keypoint sequence (video) with temporal chaining")
+    p.add_argument("keypoints",
+                   help="glob of OpenPose JSONs, e.g. 'frames/*_keypoints"
+                        ".json' (sorted order = frame order)")
+    p.add_argument("out", help="output .npz (pose/shape/camera per frame)")
+    p.add_argument("--config", default=None, help="fitting conf.yaml")
+    p.add_argument("--temporal-weight", type=float, default=None,
+                   help="anchor each frame to the previous solution "
+                        "(overrides config; 0 = off)")
+    p.add_argument("--independent", action="store_true",
+                   help="fit all frames independently in one batched "
+                        "program instead of chaining")
+    p.add_argument("--cx", type=float, default=512.0)
+    p.add_argument("--cy", type=float, default=512.0)
+    p.add_argument("--clip-out", default=None,
+                   help="also write a Mixamo-format result.pkl for "
+                        "`animate`")
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--verts", type=int, default=6890,
+                   help="synthetic-fallback vertex count (tests/benches)")
+    p.set_defaults(fn=_cmd_fit_video)
 
     p = sub.add_parser(
         "export-glb",
