@@ -20,10 +20,32 @@ class TestMotionIO:
         np.savez(p, poses=poses156, trans=trans, mocap_framerate=120.0)
         clip = motion_lib.read_amass(p)
         assert clip.poses.shape == (20, 24, 3)
-        np.testing.assert_allclose(
-            clip.poses.reshape(20, 72), poses156[:, :72])
+        flat = clip.poses.reshape(20, 72)
+        # Global + 21 body joints pass through; SMPL hand joints 22/23 are
+        # ZERO (the reference's [:72] slice would leak finger rotations
+        # there — see smplh156_to_smpl24).
+        np.testing.assert_allclose(flat[:, :66], poses156[:, :66])
+        np.testing.assert_allclose(flat[:, 66:], 0.0)
         np.testing.assert_allclose(clip.trans[0], 0.0)
         assert clip.fps == 120.0
+
+    def test_smpl72_clip_keeps_hand_joints(self, tmp_path):
+        """A true SMPL-72 npz has real joints 22/23 — they must survive."""
+        rng = np.random.default_rng(3)
+        poses72 = rng.normal(size=(5, 72))
+        p = str(tmp_path / "clip72.npz")
+        np.savez(p, poses=poses72)
+        clip = motion_lib.read_amass(p)
+        np.testing.assert_allclose(clip.poses.reshape(5, 72), poses72)
+
+    def test_smplh156_to_smpl24(self):
+        pose = np.arange(156, dtype=np.float64)[None]
+        out = motion_lib.smplh156_to_smpl24(pose)
+        assert out.shape == (1, 24, 3)
+        np.testing.assert_allclose(out.reshape(72)[:66], pose[0, :66])
+        np.testing.assert_allclose(out[0, 22:], 0.0)
+        with np.testing.assert_raises(ValueError):
+            motion_lib.smplh156_to_smpl24(np.zeros((2, 10)))
 
     def test_amass_stride(self, tmp_path):
         p = str(tmp_path / "clip.npz")

@@ -112,6 +112,13 @@ def _fk_oracle(skel, frame):
 
 
 class TestParse:
+    def test_orphan_bone_raises(self):
+        """A bone declared in :bonedata but absent from :hierarchy must be
+        a parse error, not an infinite reorder loop."""
+        broken = SAMPLE_ASF.replace("    lfemur ltibia\n", "")
+        with pytest.raises(ValueError, match="ltibia"):
+            asf_lib.parse_asf(broken)
+
     def test_parse_asf_structure(self):
         skel = asf_lib.parse_asf(SAMPLE_ASF)
         assert sorted(b.name for b in skel.bones) == [

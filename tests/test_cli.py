@@ -38,6 +38,21 @@ def test_load_config_rejects_non_smplh_model_type(tmp_path):
     assert gen_lib.load_config(p).focal_length == 5000.0
 
 
+def test_load_config_rejects_mismatched_schedules(tmp_path):
+    """An EXPLICIT weight schedule whose length disagrees with the stage
+    count must raise (reference fit_single_frame.py:110-147 asserts), not
+    silently truncate."""
+    p = str(tmp_path / "conf.yaml")
+    with open(p, "w") as f:
+        f.write("body_pose_prior_weights: [404.0, 57.4]\n"
+                "data_weights: [1.0, 1.0, 1.0]\n")
+    with pytest.raises(ValueError, match="data_weights"):
+        gen_lib.load_config(p)
+    # untouched defaults still truncate to the stage count
+    cfg = gen_lib.load_config(None, body_pose_prior_weights=(404.0, 57.4))
+    assert len(cfg.body_pose_prior_weights) == 2
+
+
 def test_dump_config_roundtrip(tmp_path):
     cfg = gen_lib.load_config(None, maxiters=11)
     p = str(tmp_path / "conf.yaml")

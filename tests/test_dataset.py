@@ -72,6 +72,20 @@ class TestAugment:
 
 
 class TestLoader:
+    def test_undersized_dataset_raises_not_hangs(self):
+        """dataset < batch_size with drop_last can never form a batch; with
+        num_epochs=None the worker would spin forever while the consumer
+        blocks — must be a constructor error instead."""
+        data = ds.ArrayDataset([
+            ds.preprocess_example(e, size=16)
+            for e in ds.synthetic_hmr_dataset(4, image_size=24, seed=0)
+            ._examples])
+        with pytest.raises(ValueError, match="drop_last"):
+            ds.DeviceLoader(data, batch_size=32, num_epochs=None)
+        # but a partial final batch is fine when drop_last is off
+        loader = ds.DeviceLoader(data, batch_size=32, drop_last=False)
+        assert len(list(loader)) == 1
+
     def test_collate_shapes_and_masking(self):
         exs = [ds.preprocess_example(e, size=32)
                for e in ds.synthetic_hmr_dataset(4, image_size=48, seed=6)

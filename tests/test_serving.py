@@ -84,6 +84,17 @@ class TestServer:
         with pytest.raises(RuntimeError, match="stopped"):
             f.result(timeout=5)
 
+    def test_submit_after_stop_raises(self):
+        """A submit racing (or following) stop() must error immediately
+        rather than leave its future forever unresolved."""
+        s = serving.InferenceServer(
+            double_step, image_shape=SHAPE, buckets=(1, 2),
+            max_delay_ms=1.0).start()
+        s(np.zeros(SHAPE, np.float32))
+        s.stop()
+        with pytest.raises(RuntimeError, match="stopped"):
+            s.submit(np.zeros(SHAPE, np.float32))
+
     def test_step_error_propagates(self):
         def bad_step(images):
             return jnp.linalg.cholesky(

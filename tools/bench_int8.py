@@ -9,11 +9,12 @@ toolchain, expect parity or a slowdown — the result is recorded either
 way (models/hmr_quant.py stays opt-in experimental until int8 wins).
 """
 import json
+import os
 import sys
 import time
 from collections import deque
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -157,8 +157,10 @@ def _cmd_fit_video(args) -> int:
     print(f"wrote {args.out} ({out.pose.shape[0]} frames, "
           f"mean loss {float(np.mean(out.loss)):.3f})")
     if args.clip_out:
+        # SMPL-24 clip from the SMPLH fit: global+body joints, zero hands
+        # (slicing [:72] would leak left-finger rotations into slots 22/23).
         motion_lib.save_mixamo(
-            args.clip_out, out.pose[:, :72].reshape(-1, 24, 3),
+            args.clip_out, motion_lib.smplh156_to_smpl24(out.pose),
             cam=out.camera_translation, fps=args.fps)
         print(f"wrote {args.clip_out} (animate-compatible clip)")
     return 0

@@ -231,10 +231,69 @@ def _setup_collision(model, config: FitConfig):
     return functools.partial(coll_lib.penetration_loss, proxy=coll_proxy)
 
 
+def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
+                    vertex_ids, hand_bases, jw, gmm_prior, coll_fn):
+    """The staged-fit objective (reference SMPLifyLoss, fitting.py:365-449),
+    shared verbatim by fit_frame and BatchFitter so the single-frame and
+    batched paths cannot drift apart.
+
+    Returns ``loss(p, w, gt2d, conf, center, anchor=None)`` where ``anchor``
+    is an optional ``(anchor_w, pose_init, orient_init, pose_key)`` temporal
+    term (chained video fitting; anchor_w == 0 disables per frame)."""
+
+    def body_loss(p, w, gt2d, conf, center, anchor=None):
+        proj, body_R, state = _forward_joints(
+            model, decoder, dec_params, p, config.use_vposer, focal,
+            center, vertex_ids, hand_bases)
+        # Smooth axis-angle proxy from the rotation skew part
+        # (sin(theta)*axis): sign- and monotonicity-preserving on the bend
+        # range, and differentiable everywhere (unlike exact mat2aa).
+        body63 = jnp.stack([
+            (body_R[:, 2, 1] - body_R[:, 1, 2]) / 2,
+            (body_R[:, 0, 2] - body_R[:, 2, 0]) / 2,
+            (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
+        ], axis=-1).reshape(-1)
+        weights = jw * conf if config.use_joints_conf else jw
+        weights = weights.at[25:].multiply(w["hand_joints"])
+        diff = priors_lib.gmof(gt2d - proj, config.rho)
+        joint_loss = jnp.sum(weights[:, None] ** 2 * diff) * w["data"] ** 2
+        if config.use_vposer:
+            pprior = jnp.sum(p["pose_embedding"] ** 2) * w["body_pose"] ** 2
+        elif gmm_prior is not None:
+            pprior = priors_lib.max_mixture_prior(
+                p["body_pose"], gmm_prior) * w["body_pose"] ** 2
+        else:
+            pprior = priors_lib.l2_prior(p["body_pose"]) * w["body_pose"] ** 2
+        shape_loss = priors_lib.l2_prior(p["betas"]) * w["shape"] ** 2
+        # Elbow/knee indices (52,55,9,12 after dropping global orient) all
+        # fall inside the 63-dim body pose (reference fitting.py:399-402).
+        bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
+        hands = (priors_lib.l2_prior(p["lhand"])
+                 + priors_lib.l2_prior(p["rhand"])) * w["hand_prior"] ** 2
+        total = joint_loss + pprior + shape_loss + bend + hands
+        if coll_fn is not None:
+            total = total + w["coll"] * coll_fn(state.verts)
+        if anchor is not None:
+            # Anchor to the previous frame's solution (= this frame's warm
+            # start in fit_sequence's chained mode); anchor_w is 0 on
+            # unanchored frames.
+            anchor_w, pose_init, orient_init, pose_key = anchor
+            total = total + anchor_w * (
+                jnp.sum((p[pose_key] - pose_init) ** 2)
+                + jnp.sum((p["global_orient"] - orient_init) ** 2))
+        return total
+
+    return body_loss
+
+
 def _stage_weights(config: FitConfig):
     """Per-stage weight schedule stacked on a leading stage axis (scan
-    input); raises on schedule-length mismatches (the reference's
-    fit_single_frame.py:110-147 consistency asserts)."""
+    input).  body_pose_prior_weights defines the stage count; other
+    schedules may be LONGER (e.g. untouched 5-stage defaults with a
+    shorter explicit schedule) and are truncated, but a schedule SHORTER
+    than the stage count raises.  Explicit-length consistency for YAML /
+    caller-provided schedules is enforced in pipelines.gen_smplh
+    .load_config (the reference's fit_single_frame.py:110-147 asserts)."""
     n_stages = len(config.body_pose_prior_weights)
     ws = {
         "data": config.data_weights[:n_stages],
@@ -358,39 +417,12 @@ def fit_frame(
 
     coll_fn = _setup_collision(model, config)
 
+    shared_loss = _make_body_loss(model, decoder, dec_params, config, focal,
+                                  vertex_ids, hand_bases, jw, gmm_prior,
+                                  coll_fn)
+
     def body_loss(p, w):
-        proj, body_R, state = _forward_joints(
-            model, decoder, dec_params, p, config.use_vposer, focal,
-            center, vertex_ids, hand_bases)
-        # Smooth axis-angle proxy from the rotation skew part
-        # (sin(theta)*axis): sign- and monotonicity-preserving on the bend
-        # range, and differentiable everywhere (unlike exact mat2aa).
-        body63 = jnp.stack([
-            (body_R[:, 2, 1] - body_R[:, 1, 2]) / 2,
-            (body_R[:, 0, 2] - body_R[:, 2, 0]) / 2,
-            (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
-        ], axis=-1).reshape(-1)
-        weights = jw * conf if config.use_joints_conf else jw
-        weights = weights.at[25:].multiply(w["hand_joints"])
-        diff = priors_lib.gmof(gt2d - proj, config.rho)
-        joint_loss = jnp.sum(weights[:, None] ** 2 * diff) * w["data"] ** 2
-        if config.use_vposer:
-            pprior = jnp.sum(p["pose_embedding"] ** 2) * w["body_pose"] ** 2
-        elif gmm_prior is not None:
-            pprior = priors_lib.max_mixture_prior(
-                p["body_pose"], gmm_prior) * w["body_pose"] ** 2
-        else:
-            pprior = priors_lib.l2_prior(p["body_pose"]) * w["body_pose"] ** 2
-        shape_loss = priors_lib.l2_prior(p["betas"]) * w["shape"] ** 2
-        # Elbow/knee indices (52,55,9,12 after dropping global orient) all
-        # fall inside the 63-dim body pose (reference fitting.py:399-402).
-        bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
-        hands = (priors_lib.l2_prior(p["lhand"])
-                 + priors_lib.l2_prior(p["rhand"])) * w["hand_prior"] ** 2
-        total = joint_loss + pprior + shape_loss + bend + hands
-        if coll_fn is not None:
-            total = total + w["coll"] * coll_fn(state.verts)
-        return total
+        return shared_loss(p, w, gt2d, conf, center)
 
     # Per-stage weights, stacked on a leading stage axis and fed through a
     # lax.scan so the entire 5-stage schedule (and both orientation
@@ -516,6 +548,10 @@ class BatchFitter:
             "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
         }
 
+        shared_loss = _make_body_loss(model, decoder, dec_params, config,
+                                      focal, vertex_ids, hand_bases, jw,
+                                      gmm_prior, coll_fn)
+
         def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
                     orient_init, anchor_w):
             gt2d = kps[:, :2]
@@ -555,45 +591,11 @@ class BatchFitter:
             allow_flip = jnp.asarray(config.try_both_orient) | \
                 (shoulder < config.side_view_thsh)
 
+            anchor = ((anchor_w, pose_init, orient_init, pose_key)
+                      if config.temporal_weight > 0.0 else None)
+
             def body_loss(p, w):
-                proj, body_R, state = _forward_joints(
-                    model, decoder, dec_params, p, config.use_vposer, focal,
-                    center, vertex_ids, hand_bases)
-                body63 = jnp.stack([
-                    (body_R[:, 2, 1] - body_R[:, 1, 2]) / 2,
-                    (body_R[:, 0, 2] - body_R[:, 2, 0]) / 2,
-                    (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
-                ], axis=-1).reshape(-1)
-                weights = jw * conf if config.use_joints_conf else jw
-                weights = weights.at[25:].multiply(w["hand_joints"])
-                diff = priors_lib.gmof(gt2d - proj, config.rho)
-                joint_loss = jnp.sum(weights[:, None] ** 2 * diff) \
-                    * w["data"] ** 2
-                if config.use_vposer:
-                    pprior = jnp.sum(p["pose_embedding"] ** 2) \
-                        * w["body_pose"] ** 2
-                elif gmm_prior is not None:
-                    pprior = priors_lib.max_mixture_prior(
-                        p["body_pose"], gmm_prior) * w["body_pose"] ** 2
-                else:
-                    pprior = priors_lib.l2_prior(p["body_pose"]) \
-                        * w["body_pose"] ** 2
-                shape_loss = priors_lib.l2_prior(p["betas"]) * w["shape"] ** 2
-                bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
-                hands = (priors_lib.l2_prior(p["lhand"])
-                         + priors_lib.l2_prior(p["rhand"])) \
-                    * w["hand_prior"] ** 2
-                total = joint_loss + pprior + shape_loss + bend + hands
-                if coll_fn is not None:
-                    total = total + w["coll"] * coll_fn(state.verts)
-                if config.temporal_weight > 0.0:
-                    # Anchor to the previous frame's solution (= this
-                    # frame's warm start in fit_sequence's chained mode);
-                    # anchor_w is 0 on unanchored frames.
-                    total = total + anchor_w * (
-                        jnp.sum((p[pose_key] - pose_init) ** 2)
-                        + jnp.sum((p["global_orient"] - orient_init) ** 2))
-                return total
+                return shared_loss(p, w, gt2d, conf, center, anchor)
 
             def run(orient):
                 p0 = {
@@ -711,6 +713,22 @@ class BatchFitter:
 _FITTER_CACHE: dict = {}
 
 
+def _cached_fitter(model, config, dec_params, rng) -> "BatchFitter":
+    """The identity-keyed BatchFitter cache shared by fit_frames and
+    chained fit_sequence (the compile costs minutes on a TPU host)."""
+    key = (id(model), config, id(dec_params) if dec_params is not None
+           else None)
+    fitter = _FITTER_CACHE.get(key)
+    if (fitter is None or fitter.model is not model
+            or (dec_params is not None
+                and fitter.dec_params is not dec_params)):
+        if len(_FITTER_CACHE) > 8:      # bound baked-constant memory
+            _FITTER_CACHE.clear()
+        fitter = BatchFitter(model, config, dec_params=dec_params, rng=rng)
+        _FITTER_CACHE[key] = fitter
+    return fitter
+
+
 def fit_frames(
     model: params_lib.BodyModelParams,
     keypoints: np.ndarray,           # (N, 67, 3)
@@ -743,16 +761,7 @@ def fit_frames(
     objects reuse one compiled program (construct a :class:`BatchFitter`
     directly for explicit control of that lifetime).
     """
-    key = (id(model), config, id(dec_params) if dec_params is not None
-           else None)
-    fitter = _FITTER_CACHE.get(key)
-    if (fitter is None or fitter.model is not model
-            or (dec_params is not None
-                and fitter.dec_params is not dec_params)):
-        if len(_FITTER_CACHE) > 8:      # bound baked-constant memory
-            _FITTER_CACHE.clear()
-        fitter = BatchFitter(model, config, dec_params=dec_params, rng=rng)
-        _FITTER_CACHE[key] = fitter
+    fitter = _cached_fitter(model, config, dec_params, rng)
     return fitter(keypoints, camera_centers, init_cam_t=init_cam_t,
                   init_params=init_params, mesh=mesh)
 
@@ -783,7 +792,7 @@ def fit_sequence(
         return fit_frames(model, kps, centers, config,
                           dec_params=dec_params, rng=rng, mesh=mesh)
 
-    fitter = BatchFitter(model, config, dec_params=dec_params, rng=rng)
+    fitter = _cached_fitter(model, config, dec_params, rng)
     pose_key = fitter.pose_key
     outs = []
     prev: Optional[FitBatchOutput] = None

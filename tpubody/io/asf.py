@@ -213,10 +213,17 @@ def parse_asf(text: str) -> ASFSkeleton:
     order: List[int] = [0]
     added = {0}
     while len(order) < len(bones):
+        grew = False
         for i, b in enumerate(bones):
             if i not in added and b.parent in added:
                 order.append(i)
                 added.add(i)
+                grew = True
+        if not grew:
+            orphans = [b.name for i, b in enumerate(bones) if i not in added]
+            raise ValueError(
+                f"ASF :hierarchy never attaches bones {orphans} to the "
+                "root (malformed file?)")
     remap = {old: new for new, old in enumerate(order)}
     bones = [bones[i] for i in order]
     for b in bones:

@@ -164,6 +164,14 @@ class DeviceLoader:
     ):
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        if drop_last and len(dataset) < batch_size:
+            # Every epoch would yield zero batches; with num_epochs=None the
+            # worker would spin forever while the consumer blocks on an
+            # empty queue (e.g. train-hmr --synthetic 8 with --batch 32).
+            raise ValueError(
+                f"dataset has {len(dataset)} examples < batch_size="
+                f"{batch_size} with drop_last=True: no batch can ever be "
+                "formed (shrink batch_size or pass drop_last=False)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -21,9 +21,36 @@ class MotionClip(NamedTuple):
     fps: float
 
 
+def smplh156_to_smpl24(pose156: np.ndarray) -> np.ndarray:
+    """(T, 156) SMPLH pose -> (T, 24, 3) SMPL body pose.
+
+    SMPLH pose is [global 3][body 63 = joints 1..21][lhand 45][rhand 45];
+    SMPL joints 22/23 (hands) have no SMPLH body counterpart and are set
+    to zero.  The reference slices ``poses[:, :72]`` instead
+    (model2video.py:527-531), which leaks the first two LEFT-hand finger
+    rotations into joints 22/23 — harmless there only because its skinning
+    ignores those joints (mesh2smpl_model.py:143); exporters without that
+    mask (e.g. glTF) need the correct zeros.
+    """
+    pose156 = np.atleast_2d(np.asarray(pose156, np.float64))
+    if pose156.shape[1] < 66:
+        raise ValueError(
+            f"need >= 66 pose values (global + 21 body joints), got "
+            f"{pose156.shape[1]}")
+    T = pose156.shape[0]
+    return np.concatenate(
+        [pose156[:, :66], np.zeros((T, 6))], axis=1).reshape(T, 24, 3)
+
+
 def read_amass(path: str, stride: int = 1) -> MotionClip:
     z = np.load(path)
-    poses = np.asarray(z["poses"], np.float64)[:, :72].reshape(-1, 24, 3)
+    raw = np.asarray(z["poses"], np.float64)
+    if raw.shape[1] <= 72:
+        # True SMPL-72 clip: joints 22/23 are real hand joints — keep them.
+        poses = raw[:, :72].reshape(-1, 24, 3)
+    else:
+        # SMPLH (156) / SMPL-X (165): body is [:66], the rest is fingers.
+        poses = smplh156_to_smpl24(raw[:, :66 + 90])
     if "trans" in z:
         trans = np.asarray(z["trans"], np.float64)
         trans = trans - trans[0]

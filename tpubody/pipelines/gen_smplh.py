@@ -136,7 +136,23 @@ def load_config(yaml_path: Optional[str] = None,
                 "(smplh only); the reference pipeline also only ever "
                 "runs smplh")
     cfg.update(overrides)
-    return smplify.FitConfig(**cfg)
+    out = smplify.FitConfig(**cfg)
+    # Stage-schedule consistency for EXPLICITLY provided schedules (the
+    # reference's fit_single_frame.py:110-147 asserts).  FitConfig itself
+    # truncates untouched defaults to the stage count as a programmatic
+    # convenience; here we know which keys the YAML/caller actually set,
+    # so a mismatched explicit schedule is a config error, not a request
+    # to silently drop entries.
+    n_stages = len(out.body_pose_prior_weights)
+    for key in ("data_weights", "shape_weights", "hand_pose_prior_weights",
+                "hand_joints_weights", "coll_loss_weights"):
+        if key in cfg and len(cfg[key]) != n_stages:
+            raise ValueError(
+                f"{key} has {len(cfg[key])} entries but "
+                f"body_pose_prior_weights defines {n_stages} stages "
+                "(reference fit_single_frame.py:110-147 consistency "
+                "asserts)")
+    return out
 
 
 def dump_config(path: str, config: smplify.FitConfig) -> None:
@@ -168,6 +184,8 @@ def gen_smplh(
     dump_config(os.path.join(out_path, "conf.yaml"), config)
 
     img = cv2.imread(img_path)
+    if img is None:
+        raise FileNotFoundError(f"unreadable image: {img_path}")
     H, W = img.shape[:2]
     camera_center = np.array([W / 2.0, H / 2.0])
 
@@ -232,6 +250,8 @@ def gen_smplh_batch(
     imgs, kps, centers = [], [], []
     for img_path, keyp_path, out_dir in items:
         img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(f"unreadable image: {img_path}")
         H, W = img.shape[:2]
         imgs.append(img)
         centers.append([W / 2.0, H / 2.0])
@@ -243,6 +263,16 @@ def gen_smplh_batch(
         np.asarray(centers, np.float32), config,
         dec_params=dec_params, mesh=mesh)
 
+    return save_batch_fit_results(items, batch, imgs, model, config,
+                                  save_artifacts=save_artifacts)
+
+
+def save_batch_fit_results(items, batch, imgs, model, config,
+                           save_artifacts: bool = True):
+    """Write each frame of a batched fit as the single-frame driver would:
+    conf.yaml + smplh.pkl (+ pre_smplh.pkl / smplh.obj / overlay when
+    ``save_artifacts``) per output dir.  Shared by gen_smplh_batch and
+    pipelines.refine so the two CLI paths emit identical artifact sets."""
     results = []
     for i, (img_path, keyp_path, out_dir) in enumerate(items):
         os.makedirs(out_dir, exist_ok=True)

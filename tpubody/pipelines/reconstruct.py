@@ -196,8 +196,13 @@ def reconstruct(
 def load_test_dir(path: str):
     """Load a reference fixture directory (data/tests/testNN layout)."""
     import cv2
-    front = cv2.imread(os.path.join(path, "front_rgb.png"))[:, :, ::-1]
-    back = cv2.imread(os.path.join(path, "back_rgb.png"))[:, :, ::-1]
+
+    from tpubody.image import ops as img_ops
+    front = img_ops.read_image(os.path.join(path, "front_rgb.png"))
+    back = img_ops.read_image(os.path.join(path, "back_rgb.png"))
     mask = cv2.imread(os.path.join(path, "mask.png"), cv2.IMREAD_GRAYSCALE)
+    if mask is None:
+        raise FileNotFoundError(
+            f"unreadable image: {os.path.join(path, 'mask.png')}")
     fit = load_fit_pickle(os.path.join(path, "smplh.pkl"))
     return front, back, mask, fit

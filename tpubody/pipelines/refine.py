@@ -125,6 +125,8 @@ def refine(
     imgs, kps, img_centers = [], [], []
     for img_path, keyp_path, _ in items:
         img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(f"unreadable image: {img_path}")
         H, W = img.shape[:2]
         imgs.append(img)
         img_centers.append([W / 2.0, H / 2.0])
@@ -141,27 +143,5 @@ def refine(
         model, kps, img_centers, config, dec_params=dec_params,
         init_cam_t=init_cam_t, init_params=init_params, mesh=mesh)
 
-    results = []
-    for i, (img_path, keyp_path, out_dir) in enumerate(items):
-        os.makedirs(out_dir, exist_ok=True)
-        gen_lib.dump_config(os.path.join(out_dir, "conf.yaml"), config)
-        single = smplify.FitOutput(
-            pose=batch.pose[i], shape=batch.shape[i],
-            camera_translation=batch.camera_translation[i],
-            camera_rotation=np.eye(3),
-            camera_center=batch.camera_center[i],
-            camera_fx=batch.camera_fx,
-            pose_embedding=batch.pose_embedding[i],
-            loss=float(batch.loss[i]))
-        fit = rec.FitResult(
-            shape=single.shape, pose=single.pose,
-            camera_center=single.camera_center,
-            camera_rotation=single.camera_rotation,
-            camera_translation=single.camera_translation,
-            camera_fx=single.camera_fx)
-        rec.save_fit_pickle(os.path.join(out_dir, "smplh.pkl"), fit)
-        if save_artifacts:
-            gen_lib._save_fit_artifacts(out_dir, model, single, imgs[i],
-                                        config)
-        results.append(fit)
-    return results
+    return gen_lib.save_batch_fit_results(items, batch, imgs, model, config,
+                                          save_artifacts=save_artifacts)

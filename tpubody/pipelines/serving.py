@@ -262,8 +262,22 @@ class InferenceServer:
                     f"expected leaf shape {tuple(spec.shape)}, "
                     f"got {arr.shape}")
             cast.append(arr)
+        if self._stop.is_set():
+            raise RuntimeError("InferenceServer is stopped")
         req = _Request(treedef.unflatten(cast))
         self._q.put(req)
+        # Close the submit/stop race: if stop() finished its drain between
+        # our check and the put, this request sits in a dead queue — fail
+        # it here rather than leaving the caller blocked on the future.
+        if self._stop.is_set() and self._thread is None:
+            while True:
+                try:
+                    r = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                r.future.set_exception(
+                    RuntimeError("InferenceServer stopped before this "
+                                 "request was dispatched"))
         return req.future
 
     def __call__(self, value):
