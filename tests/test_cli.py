@@ -25,17 +25,20 @@ def test_load_config_yaml_overrides(tmp_path):
     assert cfg.shape_weights == (1, 2, 3, 4, 5)
 
 
-def test_load_config_rejects_non_smplh_model_type(tmp_path):
-    """model_type smpl/smplx must fail loudly, not silently fit SMPLH
-    (reference smpl_config.py:83-84 choices)."""
+def test_load_config_model_type_choices(tmp_path):
+    """model_type smpl and smplh load (smpl_config.py:83-84 choices);
+    smplx must fail loudly, not silently fit something else."""
     p = str(tmp_path / "conf.yaml")
     with open(p, "w") as f:
-        f.write("model_type: smpl\n")
+        f.write("model_type: smplx\n")
     with pytest.raises(ValueError, match="model_type"):
         gen_lib.load_config(p)
-    with open(p, "w") as f:
-        f.write("model_type: smplh\n")
-    assert gen_lib.load_config(p).focal_length == 5000.0
+    for mt in ("smpl", "smplh"):
+        with open(p, "w") as f:
+            f.write(f"model_type: {mt}\n")
+        cfg = gen_lib.load_config(p)
+        assert cfg.model_type == mt
+        assert cfg.focal_length == 5000.0
 
 
 def test_load_config_rejects_mismatched_schedules(tmp_path):
@@ -51,6 +54,41 @@ def test_load_config_rejects_mismatched_schedules(tmp_path):
     # untouched defaults still truncate to the stage count
     cfg = gen_lib.load_config(None, body_pose_prior_weights=(404.0, 57.4))
     assert len(cfg.body_pose_prior_weights) == 2
+
+
+def test_gen_smplh_model_type_smpl(tmp_path):
+    """The fitting pipeline runs end-to-end with model_type: smpl —
+    24-joint model, BODY_25-only keypoints, (72,) pose artifacts."""
+    import cv2
+
+    from tpubody.fit import keypoints as kp_lib
+    from tpubody.models import params as params_lib
+    from tpubody.pipelines import reconstruct as rec
+
+    d = tmp_path
+    cv2.imwrite(str(d / "front_rgb.png"),
+                np.full((64, 64, 3), 128, np.uint8))
+    rng = np.random.default_rng(0)
+    kp_lib.write_openpose_json(
+        str(d / "0_keypoints.json"),
+        np.concatenate([rng.uniform(10, 54, (25, 2)), np.ones((25, 1))], 1))
+    model = params_lib.synthetic(n_joints=24, n_verts=300, seed=2)
+    cfg = gen_lib.load_config(
+        None, model_type="smpl", maxiters=2, focal_length=100.0,
+        use_vposer=False, side_view_thsh=0.0,
+        data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+        shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+        hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+    results = gen_lib.gen_smplh_batch(
+        [(str(d / "front_rgb.png"), str(d / "0_keypoints.json"),
+          str(d / "out"))],
+        model=model, config=cfg, vposer_ckpt="/nonexistent")
+    assert results[0].pose.shape == (72,)
+    fit = rec.load_fit_pickle(str(d / "out" / "smplh.pkl"))
+    assert fit.pose.shape == (72,)
+    assert os.path.exists(str(d / "out" / "smplh.obj"))
+    cfg2 = gen_lib.load_config(str(d / "out" / "conf.yaml"))
+    assert cfg2.model_type == "smpl"
 
 
 def test_dump_config_roundtrip(tmp_path):

@@ -666,3 +666,91 @@ class TestGroundTruthRecovery:
         assert reproj_err < 2.0, reproj_err
         assert depth_rel < 0.05, depth_rel
         assert pose_err < 0.25, pose_err
+
+
+class TestSMPLModelType:
+    """model_type='smpl': the 24-joint body-only fit family
+    (reference smpl_config.py:83-84 / util.py smpl_to_openpose :97-100)."""
+
+    def test_openpose_joints_smpl(self):
+        model = params_lib.synthetic(n_joints=24, n_verts=300, seed=0)
+        state = smpl_lib.forward(model, jnp.zeros((24, 3)), jnp.zeros(10))
+        j = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        assert j.shape == (25, 3)
+
+    @pytest.mark.slow
+    def test_smpl_fit_recovers_known_pose(self):
+        """Same known-truth round trip as TestGroundTruthRecovery but on
+        the 24-joint SMPL model: 69-dim body pose, BODY_25 keypoints,
+        no hand parameters, (72,) pose output."""
+        model = params_lib.synthetic(n_joints=24, n_verts=700, seed=1)
+        rng = np.random.default_rng(11)
+        body69_true = rng.normal(scale=0.25, size=69).astype(np.float32)
+        pose = jnp.concatenate(
+            [jnp.zeros(3), jnp.asarray(body69_true)]).reshape(24, 3)
+        cam_z = 6.0
+        cam_t_true = jnp.asarray([0.05, -0.1, cam_z])
+        center = np.array([200.0, 200.0])
+        focal = 1500.0
+        state = smpl_lib.forward(model, pose, jnp.zeros(10))
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        proj = np.asarray(smplify._project(j3, cam_t_true, focal,
+                                           jnp.asarray(center)))
+        kps = np.concatenate([proj, np.ones((25, 1))], axis=1)
+
+        cfg = smplify.FitConfig(
+            model_type="smpl", focal_length=focal, maxiters=60,
+            side_view_thsh=0.0, use_vposer=False,
+            data_weights=(1.0,) * 6,
+            body_pose_prior_weights=(404.0, 404.0, 57.4, 4.78, 4.78, 0.05),
+            shape_weights=(100.0, 50.0, 10.0, 5.0, 5.0, 1.0),
+            hand_pose_prior_weights=(404.0, 404.0, 57.4, 4.78, 4.78, 0.5),
+            hand_joints_weights=(0.0, 0.0, 0.0, 0.1, 2.0, 2.0))
+        out = smplify.fit_frame(model, kps, center, cfg,
+                                init_cam_t=np.array([0.0, 0.0, 5.5]))
+        assert out.pose.shape == (72,)
+
+        fit_state = smpl_lib.forward(
+            model, jnp.asarray(out.pose.reshape(24, 3), jnp.float32),
+            jnp.asarray(out.shape, jnp.float32))
+        jf = joints_lib.openpose_joints(fit_state.verts,
+                                        fit_state.joints_posed)
+        fit_proj = np.asarray(smplify._project(
+            jf, jnp.asarray(out.camera_translation, jnp.float32), focal,
+            jnp.asarray(center)))
+        reproj_err = np.linalg.norm(fit_proj - proj, axis=1).mean()
+        depth_rel = abs(float(out.camera_translation[2]) - cam_z) / cam_z
+        pose_err = np.abs(out.pose[3:] - body69_true).mean()
+        assert reproj_err < 2.0, reproj_err
+        # 25 body keypoints constrain absolute depth less than SMPLH's 67
+        # (beta rescaling can trade against depth): observed ~12% on this
+        # synthetic body vs ~3% for SMPLH — gate the ambiguity, not noise.
+        assert depth_rel < 0.2, depth_rel
+        assert pose_err < 0.25, pose_err
+
+    @pytest.mark.slow
+    def test_smpl_batched_and_vposer_paths(self):
+        """fit_frames and the VPoser parameterization both produce (72,)
+        poses with finite losses on the SMPL model."""
+        model = params_lib.synthetic(n_joints=24, n_verts=300, seed=0)
+        state = smpl_lib.forward(model, jnp.zeros((24, 3)), jnp.zeros(10))
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        proj = np.asarray(smplify._project(
+            j3, jnp.asarray([0.0, 0.0, 4.0]), 500.0,
+            jnp.asarray([128.0, 128.0])))
+        kps = np.concatenate([proj, np.ones((25, 1))], axis=1)
+        base = dict(model_type="smpl", focal_length=500.0, maxiters=3,
+                    side_view_thsh=0.0,
+                    data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+                    shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+                    hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+        out = smplify.fit_frames(
+            model, np.stack([kps, kps]), np.array([128.0, 128.0]),
+            smplify.FitConfig(use_vposer=False, **base))
+        assert out.pose.shape == (2, 72)
+        assert np.isfinite(out.loss).all()
+        out2 = smplify.fit_frame(
+            model, kps, np.array([128.0, 128.0]),
+            smplify.FitConfig(use_vposer=True, **base))
+        assert out2.pose.shape == (72,)
+        assert np.isfinite(out2.loss)

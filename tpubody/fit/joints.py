@@ -31,24 +31,34 @@ SMPLH_EXTRA_VERTEX_IDS = np.array([
 ], np.int64)
 
 
-def extra_vertex_ids(num_verts: int) -> np.ndarray:
+def extra_vertex_ids(num_verts: int, n_joints: int = 52) -> np.ndarray:
     """The standard table for the real 6890-vertex template; clipped ids as
-    a graceful fallback for synthetic test meshes."""
+    a graceful fallback for synthetic test meshes.  SMPL (24 joints) has no
+    fingertips — only the 11 nose/eye/ear/toe/heel extras apply."""
+    table = (SMPLH_EXTRA_VERTEX_IDS if n_joints == 52
+             else SMPLH_EXTRA_VERTEX_IDS[:11])
     if num_verts >= 6890:
-        return SMPLH_EXTRA_VERTEX_IDS
-    return np.clip(SMPLH_EXTRA_VERTEX_IDS, 0, num_verts - 1)
+        return table
+    return np.clip(table, 0, num_verts - 1)
 
 
 def openpose_joints(
     verts: jnp.ndarray,       # (V, 3) posed vertices
-    joints52: jnp.ndarray,    # (52, 3) posed model joints
+    joints: jnp.ndarray,      # (52, 3) SMPLH or (24, 3) SMPL posed joints
     use_hands: bool = True,
     vertex_ids: Optional[np.ndarray] = None,
 ) -> jnp.ndarray:
-    """(67, 3) joints in OpenPose [body25, lhand21, rhand21] order."""
+    """Joints in OpenPose order: (67, 3) [body25, lhand21, rhand21] for
+    SMPLH (or (25, 3) with use_hands=False), (25, 3) body for SMPL."""
+    n_j = joints.shape[-2]
     if vertex_ids is None:
-        vertex_ids = extra_vertex_ids(verts.shape[-2])
+        vertex_ids = extra_vertex_ids(verts.shape[-2], n_joints=n_j)
     extra = verts[..., jnp.asarray(vertex_ids), :]
-    full = jnp.concatenate([joints52, extra], axis=-2)   # (73, 3)
-    mapping = jnp.asarray(kp_lib.smplh_to_openpose(use_hands))
+    full = jnp.concatenate([joints, extra], axis=-2)
+    if n_j == 52:
+        mapping = jnp.asarray(kp_lib.smplh_to_openpose(use_hands))
+    elif n_j == 24:
+        mapping = jnp.asarray(kp_lib.smpl_to_openpose())
+    else:
+        raise ValueError(f"unsupported joint count {n_j} (24 or 52)")
     return full[..., mapping, :]

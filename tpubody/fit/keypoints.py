@@ -27,11 +27,24 @@ SMPLH_RHAND_TO_OPENPOSE = np.array(
      43, 44, 45, 72], np.int32)
 
 
+# SMPL (24-joint, model_type='smpl'): 24 = nose extra joint, 25..34 the
+# eye/ear/toe/heel extras appended after the base joints
+# (reference util.py smpl_to_openpose :97-100; no hand mapping exists).
+SMPL_BODY_TO_OPENPOSE = np.array(
+    [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+     25, 26, 27, 28, 29, 30, 31, 32, 33, 34], np.int32)
+
+
 def smplh_to_openpose(use_hands: bool = True) -> np.ndarray:
     maps = [SMPLH_BODY_TO_OPENPOSE]
     if use_hands:
         maps += [SMPLH_LHAND_TO_OPENPOSE, SMPLH_RHAND_TO_OPENPOSE]
     return np.concatenate(maps)
+
+
+def smpl_to_openpose() -> np.ndarray:
+    """24-joint SMPL -> OpenPose BODY_25 permutation (body only)."""
+    return SMPL_BODY_TO_OPENPOSE
 
 
 class Keypoints(NamedTuple):

@@ -37,6 +37,12 @@ from tpubody.models import smpl as smpl_lib
 class FitConfig:
     """Defaults from fit_smplh.yaml + smpl_config.py (SURVEY.md §2 #27)."""
 
+    # Body family (smpl_config.py:83-84 choices; smplx is refused — its
+    # face/expression surface has no SMPLH counterpart here).  'smplh' is
+    # the reference's only live configuration (fit_smplh.yaml:17); 'smpl'
+    # fits the 24-joint body-only model (23-joint 69-dim body pose, no
+    # articulated hands, BODY_25 keypoints only).
+    model_type: str = "smplh"
     focal_length: float = 5000.0
     rho: float = 100.0
     optim_type: str = "lbfgsls"   # adam|lbfgs|lbfgsls|rmsprop|sgd
@@ -114,11 +120,6 @@ def _project(joints3d, cam_t, focal, center):
     return cam[..., :2] / z * focal + center
 
 
-def _assemble_pose(global_orient, body_pose63, lhand, rhand):
-    return jnp.concatenate([global_orient, body_pose63, lhand, rhand]
-                           ).reshape(52, 3)
-
-
 def _hand_aa(p, key, basis):
     """Hand axis-angle (45,) from either full aa or PCA coefficients
     (smplx use_pca parity: aa = mean + coeffs @ components)."""
@@ -130,28 +131,42 @@ def _hand_aa(p, key, basis):
 
 
 def _forward_joints(model, decoder, dec_params, p, use_vposer, focal,
-                    center, vertex_ids, hand_bases=(None, None)):
-    """SMPLH forward -> projected OpenPose joints.
+                    center, vertex_ids, hand_bases=(None, None),
+                    use_hands=True):
+    """SMPLH/SMPL forward -> projected OpenPose joints.
 
     TPU-first: VPoser's decoded rotation MATRICES feed LBS directly
     (pose_is_rotmat) — the reference detours rotmat -> axis-angle ->
     rodrigues only because smplx wants axis-angle; skipping it removes both
     work and the non-differentiable-at-pi conversion from the grad path.
+
+    ``model.num_joints`` selects the body family: 52 = SMPLH (21 body
+    joints + 2x15 hands), 24 = SMPL (23 body joints, no articulated hands
+    — VPoser's 21 decoded joints get identity wrists appended, the
+    reference's torch.cat-zeros for model_type='smpl').
     """
     from tpubody.core.rotations import rodrigues
+    nj = model.num_joints
+    n_body = 21 if nj == 52 else nj - 1
     if use_vposer:
         body_R = decoder.apply(dec_params, p["pose_embedding"][None])[0]
+        if body_R.shape[0] < n_body:   # SMPL: identity hand joints 22/23
+            eye = jnp.broadcast_to(jnp.eye(3),
+                                   (n_body - body_R.shape[0], 3, 3))
+            body_R = jnp.concatenate([body_R, eye], axis=0)
     else:
-        body_R = rodrigues(p["body_pose"].reshape(21, 3))
-    R = jnp.concatenate([
-        rodrigues(p["global_orient"].reshape(1, 3)),
-        body_R,
-        rodrigues(_hand_aa(p, "lhand", hand_bases[0]).reshape(15, 3)),
-        rodrigues(_hand_aa(p, "rhand", hand_bases[1]).reshape(15, 3)),
-    ], axis=0)                                     # (52, 3, 3)
+        body_R = rodrigues(p["body_pose"].reshape(n_body, 3))
+    parts = [rodrigues(p["global_orient"].reshape(1, 3)), body_R]
+    if nj == 52:
+        parts += [
+            rodrigues(_hand_aa(p, "lhand", hand_bases[0]).reshape(15, 3)),
+            rodrigues(_hand_aa(p, "rhand", hand_bases[1]).reshape(15, 3)),
+        ]
+    R = jnp.concatenate(parts, axis=0)             # (nj, 3, 3)
     state = smpl_lib.forward(model, R, p["betas"], pose_is_rotmat=True)
     j_op = joints_lib.openpose_joints(state.verts, state.joints_posed,
-                                      vertex_ids=vertex_ids)
+                                      vertex_ids=vertex_ids,
+                                      use_hands=use_hands)
     return _project(j_op, p["cam_t"], focal, center), body_R, state
 
 
@@ -171,8 +186,10 @@ def guess_init_depth(joints3d_op: jnp.ndarray, joints2d: jnp.ndarray,
 
 def _setup_hand_bases(model, config: FitConfig):
     """PCA hand bases when configured and available: ((comps, mean) x2,
-    hand_dim)."""
+    hand_dim).  SMPL (24 joints) has no articulated hands: dim 0."""
     hand_bases = (None, None)
+    if model.num_joints != 52:
+        return hand_bases, 0
     hand_dim = 45
     if (config.use_pca and model.hands_components_l is not None
             and model.hands_components_r is not None):
@@ -187,9 +204,10 @@ def _setup_hand_bases(model, config: FitConfig):
     return hand_bases, hand_dim
 
 
-def _setup_gmm(config: FitConfig):
+def _setup_gmm(config: FitConfig, body_dim: int = 63):
     """GMM body-pose prior for the non-VPoser path (reference
-    fitting.py:385-388 routes through the prior from body_prior_type)."""
+    fitting.py:385-388 routes through the prior from body_prior_type).
+    ``body_dim`` is 63 for SMPLH (21 body joints), 69 for SMPL (23)."""
     if config.use_vposer or config.body_prior_type not in ("gmm", "mog"):
         return None
     import os as _os
@@ -199,16 +217,20 @@ def _setup_gmm(config: FitConfig):
         if config.prior_folder else ""
     if gmm_path and _os.path.exists(gmm_path):
         gmm_prior = priors_lib.load_gmm(gmm_path)
-        if gmm_prior.means.shape[1] != 63:
+        if gmm_prior.means.shape[1] < body_dim:
+            raise ValueError(
+                f"GMM prior is {gmm_prior.means.shape[1]}-dim; the model's "
+                f"body pose needs {body_dim}")
+        if gmm_prior.means.shape[1] != body_dim:
             # SMPLify GMM pickles are 69-dim (23 SMPL body joints);
             # SMPLH body pose is 63-dim — keep the shared prefix.
             gmm_prior = priors_lib.GMMPrior(
-                means=gmm_prior.means[:, :63],
-                precisions=gmm_prior.precisions[:, :63, :63],
+                means=gmm_prior.means[:, :body_dim],
+                precisions=gmm_prior.precisions[:, :body_dim, :body_dim],
                 log_norm=gmm_prior.log_norm)
         return gmm_prior
     return priors_lib.synthetic_gmm(
-        n_components=config.num_gaussians, dim=63)
+        n_components=config.num_gaussians, dim=body_dim)
 
 
 def _setup_collision(model, config: FitConfig):
@@ -232,7 +254,8 @@ def _setup_collision(model, config: FitConfig):
 
 
 def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
-                    vertex_ids, hand_bases, jw, gmm_prior, coll_fn):
+                    vertex_ids, hand_bases, jw, gmm_prior, coll_fn,
+                    use_hands=True):
     """The staged-fit objective (reference SMPLifyLoss, fitting.py:365-449),
     shared verbatim by fit_frame and BatchFitter so the single-frame and
     batched paths cannot drift apart.
@@ -244,7 +267,7 @@ def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
     def body_loss(p, w, gt2d, conf, center, anchor=None):
         proj, body_R, state = _forward_joints(
             model, decoder, dec_params, p, config.use_vposer, focal,
-            center, vertex_ids, hand_bases)
+            center, vertex_ids, hand_bases, use_hands=use_hands)
         # Smooth axis-angle proxy from the rotation skew part
         # (sin(theta)*axis): sign- and monotonicity-preserving on the bend
         # range, and differentiable everywhere (unlike exact mat2aa).
@@ -268,8 +291,9 @@ def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
         # Elbow/knee indices (52,55,9,12 after dropping global orient) all
         # fall inside the 63-dim body pose (reference fitting.py:399-402).
         bend = jnp.sum(priors_lib.angle_prior(body63)) * w["bending"]
-        hands = (priors_lib.l2_prior(p["lhand"])
-                 + priors_lib.l2_prior(p["rhand"])) * w["hand_prior"] ** 2
+        hands = ((priors_lib.l2_prior(p["lhand"])
+                  + priors_lib.l2_prior(p["rhand"])) * w["hand_prior"] ** 2
+                 if "lhand" in p else 0.0)
         total = joint_loss + pprior + shape_loss + bend + hands
         if coll_fn is not None:
             total = total + w["coll"] * coll_fn(state.verts)
@@ -317,8 +341,8 @@ def _stage_weights(config: FitConfig):
 
 
 def fit_frame(
-    model: params_lib.BodyModelParams,      # 52-joint SMPLH
-    keypoints: np.ndarray,                  # (67, 3) x, y, conf
+    model: params_lib.BodyModelParams,      # 52-joint SMPLH or 24-joint SMPL
+    keypoints: np.ndarray,                  # (67, 3) x, y, conf (25 for SMPL)
     camera_center: np.ndarray,              # (2,)
     config: FitConfig = FitConfig(),
     dec_params=None,
@@ -326,14 +350,14 @@ def fit_frame(
     init_cam_t: Optional[np.ndarray] = None,
     init_params: Optional[dict] = None,
 ) -> FitOutput:
-    """Fit SMPLH parameters to one frame's keypoints.
+    """Fit SMPLH (or 24-joint SMPL) parameters to one frame's keypoints.
 
     ``init_cam_t`` overrides the limb-ratio depth heuristic
     (guess_init, reference fitting.py:36-110) with an external camera
     estimate — e.g. the HMR regressor's camera when SMPLify runs as a
     refinement stage.  ``init_params`` optionally seeds any of
     ``global_orient`` (3,), ``betas`` (10,), ``pose_embedding`` (32,) /
-    ``body_pose`` (63,), ``lhand``/``rhand`` — the SPIN-style
+    ``body_pose`` (63, — 69 for SMPL), ``lhand``/``rhand`` — the SPIN-style
     regress-then-optimize warm start (pipelines/refine.py)."""
     decoder = vposer_lib.VPoserDecoder()
     if dec_params is None:
@@ -341,14 +365,17 @@ def fit_frame(
     init_params = {k: jnp.asarray(np.asarray(v), jnp.float32)
                    for k, v in (init_params or {}).items()}
 
+    nj = model.num_joints                    # 52 SMPLH / 24 SMPL
+    use_hands = config.use_hands and nj == 52
+    body_dim = 63 if nj == 52 else 3 * (nj - 1)
     kps = jnp.asarray(keypoints, jnp.float32)
     gt2d = kps[:, :2]
     conf = kps[:, 2]
     jw = jnp.asarray(kp_lib.joint_weights(
-        config.joints_to_ign, config.use_hands), jnp.float32)
+        config.joints_to_ign, use_hands), jnp.float32)
     center = jnp.asarray(np.asarray(camera_center), jnp.float32)
     focal = config.focal_length
-    vertex_ids = joints_lib.extra_vertex_ids(model.num_verts)
+    vertex_ids = joints_lib.extra_vertex_ids(model.num_verts, n_joints=nj)
 
     # PCA hand bases (use_pca + model carries components): optimize
     # num_pca_comps coefficients per hand instead of 45 axis-angles.
@@ -357,14 +384,17 @@ def fit_frame(
     # --- initialization -------------------------------------------------
     zeros_p = {
         "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
-        "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(63),
+        "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(body_dim),
         "cam_t": jnp.zeros(3),
-        "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
     }
+    if nj == 52:
+        zeros_p["lhand"] = jnp.zeros(hand_dim)
+        zeros_p["rhand"] = jnp.zeros(hand_dim)
 
-    gmm_prior = _setup_gmm(config)
-    state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), zeros_p["betas"])
+    gmm_prior = _setup_gmm(config, body_dim)
+    state0 = smpl_lib.forward(model, jnp.zeros((nj, 3)), zeros_p["betas"])
     j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
+                                    use_hands=use_hands,
                                     vertex_ids=vertex_ids)
     if init_cam_t is not None:
         init_t = jnp.asarray(np.asarray(init_cam_t), jnp.float32)
@@ -381,7 +411,8 @@ def fit_frame(
             model, decoder, dec_params,
             {**zeros_p, "cam_t": p["cam_t"],
              "global_orient": p["global_orient"]},
-            config.use_vposer, focal, center, vertex_ids, hand_bases)
+            config.use_vposer, focal, center, vertex_ids, hand_bases,
+            use_hands=use_hands)
         err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
         depth = config.depth_loss_weight ** 2 * (p["cam_t"][2] - est_d) ** 2
         return err + depth
@@ -419,7 +450,7 @@ def fit_frame(
 
     shared_loss = _make_body_loss(model, decoder, dec_params, config, focal,
                                   vertex_ids, hand_bases, jw, gmm_prior,
-                                  coll_fn)
+                                  coll_fn, use_hands=use_hands)
 
     def body_loss(p, w):
         return shared_loss(p, w, gt2d, conf, center)
@@ -446,38 +477,50 @@ def fit_frame(
             "global_orient": jnp.asarray(orient, jnp.float32).reshape(3),
             "betas": init_params.get("betas", jnp.zeros(10)),
             "cam_t": cam_t0,
-            "lhand": init_params.get("lhand", jnp.zeros(hand_dim)),
-            "rhand": init_params.get("rhand", jnp.zeros(hand_dim)),
         }
+        if nj == 52:
+            p["lhand"] = init_params.get("lhand", jnp.zeros(hand_dim))
+            p["rhand"] = init_params.get("rhand", jnp.zeros(hand_dim))
         # Only the live pose parameterization is optimized: the latent
         # embedding under VPoser, raw 63-dim axis-angle otherwise.
         if config.use_vposer:
             p["pose_embedding"] = init_params.get("pose_embedding",
                                                   jnp.zeros(32))
         else:
-            p["body_pose"] = init_params.get("body_pose", jnp.zeros(63))
+            p["body_pose"] = init_params.get("body_pose",
+                                             jnp.zeros(body_dim))
         p, stage_losses = run_stages(p)
         loss_val = float(stage_losses[-1])
         if best is None or loss_val < best[0]:
             best = (loss_val, p)
 
     loss_val, p = best
-    body63 = np.asarray(vposer_lib.decode_to_axis_angle(
-        decoder, dec_params, p["pose_embedding"][None])[0]) \
-        if config.use_vposer else np.asarray(p["body_pose"])
-    return _finalize_fit(p, body63, hand_bases, camera_center, focal,
+    if config.use_vposer:
+        body = np.asarray(vposer_lib.decode_to_axis_angle(
+            decoder, dec_params, p["pose_embedding"][None])[0])
+        if body.size < body_dim:     # SMPL: zero hand joints 22/23
+            body = np.concatenate([body.reshape(-1),
+                                   np.zeros(body_dim - body.size)])
+    else:
+        body = np.asarray(p["body_pose"])
+    return _finalize_fit(p, body, hand_bases, camera_center, focal,
                          loss_val)
 
 
-def _finalize_fit(p, body63, hand_bases, camera_center, focal, loss_val
+def _finalize_fit(p, body, hand_bases, camera_center, focal, loss_val
                   ) -> "FitOutput":
-    lhand_aa = np.asarray(_hand_aa(p, "lhand", hand_bases[0])).reshape(45)
-    rhand_aa = np.asarray(_hand_aa(p, "rhand", hand_bases[1])).reshape(45)
-    pose156 = np.concatenate([
-        np.asarray(p["global_orient"]).reshape(3),
-        np.asarray(body63).reshape(63), lhand_aa, rhand_aa])
+    """Pose vector assembly: (156,) = global+body63+hands for SMPLH,
+    (72,) = global+body69 for SMPL (hand_dim 0)."""
+    parts = [np.asarray(p["global_orient"]).reshape(3),
+             np.asarray(body).reshape(-1)]
+    if "lhand" in p:
+        parts.append(np.asarray(
+            _hand_aa(p, "lhand", hand_bases[0])).reshape(45))
+        parts.append(np.asarray(
+            _hand_aa(p, "rhand", hand_bases[1])).reshape(45))
+    pose = np.concatenate(parts)
     return FitOutput(
-        pose=pose156,
+        pose=pose,
         shape=np.asarray(p["betas"]),
         camera_translation=np.asarray(p["cam_t"]),
         camera_rotation=np.eye(3),
@@ -520,17 +563,22 @@ class BatchFitter:
         self.config = config
         self.dec_params = dec_params
 
+        nj = model.num_joints                # 52 SMPLH / 24 SMPL
+        use_hands = config.use_hands and nj == 52
+        body_dim = 63 if nj == 52 else 3 * (nj - 1)
         jw = jnp.asarray(kp_lib.joint_weights(
-            config.joints_to_ign, config.use_hands), jnp.float32)
-        vertex_ids = joints_lib.extra_vertex_ids(model.num_verts)
+            config.joints_to_ign, use_hands), jnp.float32)
+        vertex_ids = joints_lib.extra_vertex_ids(model.num_verts,
+                                                 n_joints=nj)
         hand_bases, hand_dim = _setup_hand_bases(model, config)
-        gmm_prior = _setup_gmm(config)
+        gmm_prior = _setup_gmm(config, body_dim)
         coll_fn = _setup_collision(model, config)
         ws = _stage_weights(config)
         focal = config.focal_length
         init_idxs = jnp.asarray(config.init_joints_idxs)
         self.hand_bases = hand_bases
-        self.pose_dim = 32 if config.use_vposer else 63
+        self.body_dim = body_dim
+        self.pose_dim = 32 if config.use_vposer else body_dim
         self.pose_key = "pose_embedding" if config.use_vposer \
             else "body_pose"
         pose_key = self.pose_key
@@ -543,14 +591,18 @@ class BatchFitter:
 
         zeros_p = {
             "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
-            "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(63),
+            "pose_embedding": jnp.zeros(32),
+            "body_pose": jnp.zeros(body_dim),
             "cam_t": jnp.zeros(3),
-            "lhand": jnp.zeros(hand_dim), "rhand": jnp.zeros(hand_dim),
         }
+        if nj == 52:
+            zeros_p["lhand"] = jnp.zeros(hand_dim)
+            zeros_p["rhand"] = jnp.zeros(hand_dim)
 
         shared_loss = _make_body_loss(model, decoder, dec_params, config,
                                       focal, vertex_ids, hand_bases, jw,
-                                      gmm_prior, coll_fn)
+                                      gmm_prior, coll_fn,
+                                      use_hands=use_hands)
 
         def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
                     orient_init, anchor_w):
@@ -558,8 +610,10 @@ class BatchFitter:
             conf = kps[:, 2]
 
             # Frame-independent zero-pose joints: unbatched under vmap.
-            state0 = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+            state0 = smpl_lib.forward(model, jnp.zeros((nj, 3)),
+                                      jnp.zeros(10))
             j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
+                                            use_hands=use_hands,
                                             vertex_ids=vertex_ids)
             est_d = jnp.where(
                 has_init_t, init_t[2],
@@ -572,7 +626,8 @@ class BatchFitter:
                     model, decoder, dec_params,
                     {**zeros_p, "cam_t": p["cam_t"],
                      "global_orient": p["global_orient"]},
-                    config.use_vposer, focal, center, vertex_ids, hand_bases)
+                    config.use_vposer, focal, center, vertex_ids, hand_bases,
+                    use_hands=use_hands)
                 err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
                 depth = config.depth_loss_weight ** 2 * \
                     (p["cam_t"][2] - est_d) ** 2
@@ -602,9 +657,10 @@ class BatchFitter:
                     "global_orient": orient.reshape(3),
                     "betas": betas_init,
                     "cam_t": cam_t0,
-                    "lhand": jnp.zeros(hand_dim),
-                    "rhand": jnp.zeros(hand_dim),
                 }
+                if nj == 52:
+                    p0["lhand"] = jnp.zeros(hand_dim)
+                    p0["rhand"] = jnp.zeros(hand_dim)
                 p0[pose_key] = pose_init
 
                 def step(p, w):
@@ -622,18 +678,22 @@ class BatchFitter:
             loss = jnp.where(use_b, l_b, l_a)
 
             if config.use_vposer:
-                body63 = vposer_lib.decode_to_axis_angle(
-                    decoder, dec_params, p["pose_embedding"][None])[0]
+                body = jnp.reshape(vposer_lib.decode_to_axis_angle(
+                    decoder, dec_params, p["pose_embedding"][None])[0], (-1,))
+                if body.shape[0] < body_dim:   # SMPL: zero joints 22/23
+                    body = jnp.concatenate(
+                        [body, jnp.zeros(body_dim - body.shape[0])])
             else:
-                body63 = p["body_pose"]
-            pose156 = jnp.concatenate([
-                p["global_orient"].reshape(3),
-                jnp.reshape(body63, (63,)),
-                jnp.reshape(_hand_aa(p, "lhand", hand_bases[0]), (45,)),
-                jnp.reshape(_hand_aa(p, "rhand", hand_bases[1]), (45,)),
-            ])
+                body = jnp.reshape(p["body_pose"], (body_dim,))
+            parts = [p["global_orient"].reshape(3), body]
+            if nj == 52:
+                parts += [
+                    jnp.reshape(_hand_aa(p, "lhand", hand_bases[0]), (45,)),
+                    jnp.reshape(_hand_aa(p, "rhand", hand_bases[1]), (45,)),
+                ]
+            pose = jnp.concatenate(parts)      # (156,) SMPLH / (72,) SMPL
             return {
-                "pose": pose156, "shape": p["betas"], "cam_t": p["cam_t"],
+                "pose": pose, "shape": p["betas"], "cam_t": p["cam_t"],
                 "emb": p.get("pose_embedding", jnp.zeros(32)), "loss": loss,
             }
 
@@ -805,7 +865,7 @@ def fit_sequence(
                 "global_orient": prev.pose[:, :3],
                 "betas": prev.shape,
                 pose_key: (prev.pose_embedding if config.use_vposer
-                           else prev.pose[:, 3:66]),
+                           else prev.pose[:, 3:3 + fitter.body_dim]),
             }
             ict = prev.camera_translation
             # Temporal smoothing: anchor this frame's pose/orientation to

@@ -37,7 +37,7 @@ _ACKNOWLEDGED_NON_FITCONFIG_KEYS = frozenset({
     "vposer_ckpt", "model_folder", "part_segm_fn",
     "summary_folder", "use_cuda", "float_dtype", "interactive",
     "visualize", "save_meshes", "degrees", "dataset", "max_persons",
-    "gender", "gender_lbl_type", "model_type", "camera_type",
+    "gender", "gender_lbl_type", "camera_type",
     "batch_size", "loss_type",
     # SMPL-X face/expression surface (no SMPLH counterpart)
     "use_face", "use_face_contour", "optim_jaw", "optim_expression",
@@ -125,17 +125,16 @@ def load_config(yaml_path: Optional[str] = None,
             raise ValueError(
                 f"conf.yaml keys not understood (would be silently "
                 f"dropped): {sorted(unknown)}")
-        # The fit core is SMPLH (52-joint, 156-dim pose — the reference's
-        # live configuration, fit_smplh.yaml:17).  Refuse the smpl/smplx
-        # choices of smpl_config.py:83-84 instead of silently fitting
-        # SMPLH against a config that asked for something else.
-        mt = raw.get("model_type", "smplh")
-        if mt != "smplh":
-            raise ValueError(
-                f"model_type={mt!r} is not supported by the fit core "
-                "(smplh only); the reference pipeline also only ever "
-                "runs smplh")
     cfg.update(overrides)
+    # The fit core handles smplh (the reference's live configuration,
+    # fit_smplh.yaml:17) and smpl (24-joint body-only).  Refuse smplx
+    # (smpl_config.py:83-84's third choice) instead of silently fitting
+    # something else — its face/expression surface has no counterpart.
+    mt = cfg.get("model_type", "smplh")
+    if mt not in ("smpl", "smplh"):
+        raise ValueError(
+            f"model_type={mt!r} is not supported by the fit core "
+            "(smpl or smplh); the reference pipeline only ever runs smplh")
     out = smplify.FitConfig(**cfg)
     # Stage-schedule consistency for EXPLICITLY provided schedules (the
     # reference's fit_single_frame.py:110-147 asserts).  FitConfig itself
@@ -153,6 +152,21 @@ def load_config(yaml_path: Optional[str] = None,
                 "(reference fit_single_frame.py:110-147 consistency "
                 "asserts)")
     return out
+
+
+def _hands(config: smplify.FitConfig) -> bool:
+    """Effective use_hands: SMPL (24-joint) has no articulated hands."""
+    return config.use_hands and config.model_type == "smplh"
+
+
+def default_fit_model(config: smplify.FitConfig):
+    """Body model per config.model_type: a real asset when present
+    (params.default_model_path / TPUBODY_*_PATH), synthetic otherwise."""
+    kind = config.model_type
+    nj = 52 if kind == "smplh" else 24
+    path = params_lib.default_model_path(kind)
+    return (params_lib.load(path) if path
+            else params_lib.synthetic(n_joints=nj, n_verts=6890, seed=0))
 
 
 def dump_config(path: str, config: smplify.FitConfig) -> None:
@@ -189,12 +203,10 @@ def gen_smplh(
     H, W = img.shape[:2]
     camera_center = np.array([W / 2.0, H / 2.0])
 
-    kp = kp_lib.read_openpose_json(keyp_path, use_hands=config.use_hands)
+    kp = kp_lib.read_openpose_json(keyp_path, use_hands=_hands(config))
 
     if model is None:
-        model_path = params_lib.default_model_path("smplh")
-        model = (params_lib.load(model_path) if model_path
-                 else params_lib.synthetic(n_joints=52, n_verts=6890, seed=0))
+        model = default_fit_model(config)
 
     dec_params = None
     ckpt = vposer_ckpt or DEFAULT_VPOSER_CKPT
@@ -238,10 +250,7 @@ def gen_smplh_batch(
 
     config = config or load_config(config_yaml)
     if model is None:
-        model_path = params_lib.default_model_path("smplh")
-        model = (params_lib.load(model_path) if model_path
-                 else params_lib.synthetic(n_joints=52, n_verts=6890,
-                                           seed=0))
+        model = default_fit_model(config)
     dec_params = None
     ckpt = vposer_ckpt or DEFAULT_VPOSER_CKPT
     if config.use_vposer and os.path.exists(ckpt):
@@ -256,7 +265,7 @@ def gen_smplh_batch(
         imgs.append(img)
         centers.append([W / 2.0, H / 2.0])
         kps.append(kp_lib.read_openpose_json(
-            keyp_path, use_hands=config.use_hands).keypoints)
+            keyp_path, use_hands=_hands(config)).keypoints)
 
     batch = smplify.fit_frames(
         model, np.stack(kps).astype(np.float32),
@@ -321,11 +330,13 @@ def _save_fit_artifacts(out_path: str,
         "betas": out.shape,
         "global_orient": out.pose[:3],
         "body_pose": (out.pose_embedding if config.use_vposer
-                      else out.pose[3:66]),
-        "left_hand_pose": out.pose[66:111],
-        "right_hand_pose": out.pose[111:156],
+                      else out.pose[3:3 + (63 if len(out.pose) >= 156
+                                           else 69)]),
         "loss": out.loss,
     }
+    if len(out.pose) >= 156:        # SMPLH: articulated hands
+        params["left_hand_pose"] = out.pose[66:111]
+        params["right_hand_pose"] = out.pose[111:156]
     with open(os.path.join(out_path, "pre_smplh.pkl"), "wb") as f:
         pickle.dump(params, f, protocol=2)
 

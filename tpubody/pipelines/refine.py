@@ -107,10 +107,7 @@ def refine(
 
     config = config or gen_lib.load_config(config_yaml)
     if model is None:
-        model_path = params_lib.default_model_path("smplh")
-        model = (params_lib.load(model_path) if model_path
-                 else params_lib.synthetic(n_joints=52, n_verts=6890,
-                                           seed=0))
+        model = gen_lib.default_fit_model(config)
     if predictor is None:
         predictor = hmr_infer.HMRPredictor(
             focal_length=config.focal_length)
@@ -131,7 +128,7 @@ def refine(
         imgs.append(img)
         img_centers.append([W / 2.0, H / 2.0])
         kps.append(kp_lib.read_openpose_json(
-            keyp_path, use_hands=config.use_hands).keypoints)
+            keyp_path, use_hands=gen_lib._hands(config)).keypoints)
     kps = np.stack(kps).astype(np.float32)
     img_centers = np.asarray(img_centers, np.float32)
 

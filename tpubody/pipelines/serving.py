@@ -79,7 +79,8 @@ def fit_smplh_step(model=None, config=None, dec_params=None):
     def step(req):
         return fitter.apply(req["keypoints"], req["center"])
 
-    spec = {"keypoints": jax.ShapeDtypeStruct((67, 3), jnp.float32),
+    n_kp = 67 if (model.num_joints == 52 and config.use_hands) else 25
+    spec = {"keypoints": jax.ShapeDtypeStruct((n_kp, 3), jnp.float32),
             "center": jax.ShapeDtypeStruct((2,), jnp.float32)}
     return step, spec
 
