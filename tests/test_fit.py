@@ -79,6 +79,31 @@ class TestKeypoints:
         assert kp.keypoints[:, 2].max() <= 1.1  # OpenPose conf can slightly exceed 1
         assert (kp.keypoints[:, :2] >= 0).any()
 
+    def test_face_keypoints_read(self, tmp_path):
+        """use_face appends the 51 FLAME landmarks (rows 17..68) and
+        use_face_contour the 17 jawline points (reference
+        lib/openpose.py:64-79)."""
+        import json as json_lib
+        rng = np.random.default_rng(2)
+        face = rng.uniform(0, 100, (70, 3))
+        d = {"people": [{
+            "pose_keypoints_2d": rng.uniform(0, 100, 75).tolist(),
+            "face_keypoints_2d": face.reshape(-1).tolist()}]}
+        p = str(tmp_path / "kp.json")
+        with open(p, "w") as f:
+            json_lib.dump(d, f)
+        kp = kp_lib.read_openpose_json(p, use_hands=False, use_face=True)
+        assert kp.keypoints.shape == (25 + 51, 3)
+        np.testing.assert_allclose(kp.keypoints[25:], face[17:68])
+        kp2 = kp_lib.read_openpose_json(p, use_hands=False, use_face=True,
+                                        use_face_contour=True)
+        assert kp2.keypoints.shape == (25 + 51 + 17, 3)
+        np.testing.assert_allclose(kp2.keypoints[-17:], face[:17])
+        # absent face block -> zeros, not KeyError
+        kp3 = kp_lib.read_openpose_json(
+            str(tmp_path / "kp.json"), use_hands=False)
+        assert kp3.keypoints.shape == (25, 3)
+
     def test_joint_weights_ignores(self):
         w = kp_lib.joint_weights((1, 9, 12), use_hands=True)
         assert w.shape == (67,)

@@ -52,11 +52,21 @@ class Keypoints(NamedTuple):
     use_hands: bool
 
 
+NUM_FACE = 51        # FLAME-compatible landmarks after the 17-pt contour
+
+
 def read_openpose_json(path: str, use_hands: bool = True,
-                       person: int = 0) -> Keypoints:
+                       person: int = 0, use_face: bool = False,
+                       use_face_contour: bool = False) -> Keypoints:
     """Read one person's keypoints from an OpenPose JSON
     (data/tests/*/0_keypoints.json format: people[i].pose_keypoints_2d (75,),
-    hand_{left,right}_keypoints_2d (63,))."""
+    hand_{left,right}_keypoints_2d (63,)).
+
+    ``use_face`` appends the 51 FLAME-compatible face landmarks (rows
+    17..68 of face_keypoints_2d) and ``use_face_contour`` the 17 jawline
+    points, matching the reference reader (lib/openpose.py:64-79).  The
+    SMPL/SMPLH fit ignores face rows (no face joints to map them to);
+    they are read for the SMPL-X-style JSON contract."""
     with open(path) as f:
         data = json.load(f)
     ppl = data["people"]
@@ -67,6 +77,13 @@ def read_openpose_json(path: str, use_hands: bool = True,
         for key in ("hand_left_keypoints_2d", "hand_right_keypoints_2d"):
             h = p.get(key, [0.0] * (NUM_HAND * 3))
             parts.append(np.asarray(h, np.float64).reshape(-1, 3)[:NUM_HAND])
+    if use_face:
+        face = np.asarray(p.get("face_keypoints_2d",
+                                [0.0] * ((17 + NUM_FACE) * 3)),
+                          np.float64).reshape(-1, 3)
+        parts.append(face[17:17 + NUM_FACE])
+        if use_face_contour:
+            parts.append(face[:17])
     return Keypoints(keypoints=np.concatenate(parts, axis=0),
                      use_hands=use_hands)
 
