@@ -56,6 +56,7 @@ def test_load_config_rejects_mismatched_schedules(tmp_path):
     assert len(cfg.body_pose_prior_weights) == 2
 
 
+@pytest.mark.slow
 def test_gen_smplh_model_type_smpl(tmp_path):
     """The fitting pipeline runs end-to-end with model_type: smpl —
     24-joint model, BODY_25-only keypoints, (72,) pose artifacts."""

@@ -138,15 +138,18 @@ def _cmd_fit_video(args) -> int:
     paths = sorted(glob_lib.glob(args.keypoints))
     if not paths:
         raise SystemExit(f"no keypoint files match {args.keypoints!r}")
-    kps = np.stack([kp_lib.read_openpose_json(p).keypoints for p in paths])
 
     config = gen_lib.load_config(args.config)
     if args.temporal_weight is not None:
         import dataclasses
         config = dataclasses.replace(
             config, temporal_weight=args.temporal_weight)
-    model = params_lib.load_or_synthetic("smplh", n_joints=52,
-                                         n_verts=args.verts)
+    kps = np.stack([
+        kp_lib.read_openpose_json(p, use_hands=gen_lib._hands(config))
+        .keypoints for p in paths])
+    model = params_lib.load_or_synthetic(
+        config.model_type, n_joints=52 if config.model_type == "smplh"
+        else 24, n_verts=args.verts)
     center = np.asarray([args.cx, args.cy], np.float64)
     out = smplify.fit_sequence(model, kps.astype(np.float32), center,
                                config, chained=not args.independent)
@@ -157,10 +160,13 @@ def _cmd_fit_video(args) -> int:
     print(f"wrote {args.out} ({out.pose.shape[0]} frames, "
           f"mean loss {float(np.mean(out.loss)):.3f})")
     if args.clip_out:
-        # SMPL-24 clip from the SMPLH fit: global+body joints, zero hands
-        # (slicing [:72] would leak left-finger rotations into slots 22/23).
+        # SMPL-24 clip: a (T,72) SMPL fit reshapes directly; an SMPLH fit
+        # takes global+body joints with zero hands (slicing [:72] would
+        # leak left-finger rotations into slots 22/23).
+        pose24 = (out.pose.reshape(-1, 24, 3) if out.pose.shape[1] == 72
+                  else motion_lib.smplh156_to_smpl24(out.pose))
         motion_lib.save_mixamo(
-            args.clip_out, motion_lib.smplh156_to_smpl24(out.pose),
+            args.clip_out, pose24,
             cam=out.camera_translation, fps=args.fps)
         print(f"wrote {args.clip_out} (animate-compatible clip)")
     return 0

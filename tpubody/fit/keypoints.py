@@ -78,9 +78,14 @@ def read_openpose_json(path: str, use_hands: bool = True,
             h = p.get(key, [0.0] * (NUM_HAND * 3))
             parts.append(np.asarray(h, np.float64).reshape(-1, 3)[:NUM_HAND])
     if use_face:
-        face = np.asarray(p.get("face_keypoints_2d",
-                                [0.0] * ((17 + NUM_FACE) * 3)),
+        face = np.asarray(p.get("face_keypoints_2d", []),
                           np.float64).reshape(-1, 3)
+        # OpenPose emits an empty (or short) face block on frames where no
+        # face is detected — pad with zero-confidence rows so the returned
+        # keypoint count is constant across a sequence.
+        if face.shape[0] < 17 + NUM_FACE:
+            face = np.concatenate(
+                [face, np.zeros((17 + NUM_FACE - face.shape[0], 3))])
         parts.append(face[17:17 + NUM_FACE])
         if use_face_contour:
             parts.append(face[:17])

@@ -161,12 +161,23 @@ def _hands(config: smplify.FitConfig) -> bool:
 
 def default_fit_model(config: smplify.FitConfig):
     """Body model per config.model_type: a real asset when present
-    (params.default_model_path / TPUBODY_*_PATH), synthetic otherwise."""
+    (params.default_model_path / TPUBODY_*_PATH), synthetic — with the
+    loud placeholder warning — otherwise."""
     kind = config.model_type
-    nj = 52 if kind == "smplh" else 24
-    path = params_lib.default_model_path(kind)
-    return (params_lib.load(path) if path
-            else params_lib.synthetic(n_joints=nj, n_verts=6890, seed=0))
+    return params_lib.load_or_synthetic(
+        kind, n_joints=52 if kind == "smplh" else 24, n_verts=6890, seed=0)
+
+
+def check_model_family(model, config: smplify.FitConfig) -> None:
+    """Fail at entry — not with a shape error deep inside the jitted
+    loss — when the body model's joint count contradicts
+    config.model_type (e.g. a 24-joint model under the default smplh)."""
+    want = 52 if config.model_type == "smplh" else 24
+    if model.num_joints != want:
+        raise ValueError(
+            f"model has {model.num_joints} joints but config.model_type="
+            f"{config.model_type!r} expects {want}; pass a matching model "
+            "or set model_type accordingly")
 
 
 def dump_config(path: str, config: smplify.FitConfig) -> None:
@@ -207,6 +218,7 @@ def gen_smplh(
 
     if model is None:
         model = default_fit_model(config)
+    check_model_family(model, config)
 
     dec_params = None
     ckpt = vposer_ckpt or DEFAULT_VPOSER_CKPT
@@ -251,6 +263,7 @@ def gen_smplh_batch(
     config = config or load_config(config_yaml)
     if model is None:
         model = default_fit_model(config)
+    check_model_family(model, config)
     dec_params = None
     ckpt = vposer_ckpt or DEFAULT_VPOSER_CKPT
     if config.use_vposer and os.path.exists(ckpt):

@@ -64,9 +64,10 @@ def hmr_init_from_images(
     init_cam_t = np.asarray(camera_lib.crop_cam_to_orig(
         pred.cam, centers, scales, config.focal_length, img_centers))
 
-    # SMPL rotmats: joint 0 = global orient, 1..21 = the SMPLH body chain
-    # (SMPL's 22/23 are its wrist-level hands — dropped; SMPLH carries
-    # full hand chains fitted separately).
+    # HMR predicts SMPL rotmats: joint 0 = global orient, 1..21 = the
+    # shared body chain, 22/23 = SMPL's wrist-level hands.  The SMPLH fit
+    # seeds its 63-dim body pose from 1..21 (hands are fitted separately);
+    # a model_type='smpl' fit takes the full 69-dim 1..23 seed.
     aa = np.asarray(rotmat_to_axis_angle(jnp.asarray(pred.rotmats)))
     init_params = {
         "global_orient": aa[:, 0],
@@ -80,6 +81,9 @@ def hmr_init_from_images(
             init_params["pose_embedding"] = np.asarray(mu, np.float32)
         # else: keep the zero embedding — a random-init encoder would be
         # a worse start than the VPoser prior mean.
+    elif config.model_type == "smpl":
+        init_params["body_pose"] = aa[:, 1:24].reshape(
+            len(img_paths), 69).astype(np.float32)
     else:
         init_params["body_pose"] = body63
     return init_cam_t, init_params
@@ -108,6 +112,7 @@ def refine(
     config = config or gen_lib.load_config(config_yaml)
     if model is None:
         model = gen_lib.default_fit_model(config)
+    gen_lib.check_model_family(model, config)
     if predictor is None:
         predictor = hmr_infer.HMRPredictor(
             focal_length=config.focal_length)

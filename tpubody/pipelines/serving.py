@@ -69,11 +69,10 @@ def fit_smplh_step(model=None, config=None, dec_params=None):
     is sub-second per bucket (docs/STATUS.md production numbers).
     """
     from tpubody.fit import smplify
-    from tpubody.models import params as params_lib
+    from tpubody.pipelines import gen_smplh as gen_lib
 
-    model = model if model is not None else params_lib.load_or_synthetic(
-        "smplh", n_joints=52, n_verts=6890, seed=0)
     config = config or smplify.FitConfig()
+    model = model if model is not None else gen_lib.default_fit_model(config)
     fitter = smplify.BatchFitter(model, config, dec_params=dec_params)
 
     def step(req):
