@@ -118,6 +118,17 @@ def test_hmr_smpl_step_builds_and_runs():
     assert cam.shape == (2, 3)
 
 
+@pytest.mark.slow  # real ResNet init + PTQ calibration compile (1-core CPU)
+def test_hmr_smpl_step_quantized():
+    """The int8 serving step produces the same output structure with
+    finite values (fidelity itself is pinned by test_hmr_quant)."""
+    step = serving.hmr_smpl_step(n_verts=64, image_size=48, quantize=True)
+    verts, cam = jax.jit(step)(jnp.zeros((2, 48, 48, 3), jnp.float32))
+    assert verts.shape == (2, 64, 3)
+    assert cam.shape == (2, 3)
+    assert np.isfinite(np.asarray(verts)).all()
+
+
 def test_sharded_server_on_mesh():
     """Batches land pre-sharded on the frames mesh; SPMD step results are
     exact per request."""

@@ -32,18 +32,48 @@ import jax.numpy as jnp
 
 
 def hmr_smpl_step(dtype=jnp.bfloat16, n_joints: int = 24,
-                  n_verts: int = 6890, stem: str = "conv7"
+                  n_verts: int = 6890, stem: str = "conv7",
+                  image_size: int = 224, quantize: bool = False,
+                  calib_images=None,
                   ) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
-    """The flagship serving step: images -> (posed verts, weak-persp cam)."""
+    """The flagship serving step: images -> (posed verts, weak-persp cam).
+
+    ``quantize=True`` serves the int8 PTQ backbone (models/hmr_quant:
+    exact BN folding, per-channel weight + calibrated activation scales)
+    instead of the bf16 Flax forward — pass real ``calib_images`` for a
+    production deployment; a random calibration batch is only a
+    throughput-benchmark stand-in.
+    """
     from tpubody.models import hmr as hmr_lib
     from tpubody.models import params as params_lib
     from tpubody.models import smpl as smpl_lib
 
-    model, variables = hmr_lib.create_hmr(dtype=dtype, stem=stem)
+    model, variables = hmr_lib.create_hmr(
+        dtype=jnp.float32 if quantize else dtype, stem=stem,
+        image_size=image_size)
     body = params_lib.load_or_synthetic(
         "smpl", n_joints=n_joints, n_verts=n_verts, seed=0,
         warn=n_verts == 6890)
     use_pallas = jax.default_backend() == "tpu"
+
+    if quantize:
+        from tpubody.models import hmr_quant
+        if calib_images is None:
+            rng = np.random.default_rng(0)
+            calib_images = jnp.asarray(
+                rng.normal(scale=0.5,
+                           size=(4, image_size, image_size, 3)),
+                jnp.float32)
+        qparams = hmr_quant.quantize_hmr(variables, calib_images)
+
+        def step(images):
+            out = hmr_quant.forward(qparams, images)
+            verts = smpl_lib.forward_batch_verts(
+                body, out.rotmats, out.shape, None,
+                use_pallas=use_pallas, pose_is_rotmat=True)
+            return verts, out.cam
+
+        return step
 
     def step(images):
         out = model.apply(variables, images)
