@@ -297,4 +297,13 @@ def load_or_synthetic(kind: str = "smpl", n_joints: int = 24,
             f"tpubody/models/assets/{kind}_neutral.npz); using a SYNTHETIC "
             f"body — exported meshes are placeholders, not real bodies.",
             file=sys.stderr)
-    return synthetic(n_joints=n_joints, n_verts=n_verts, seed=seed)
+    # Prefer the structured capsule humanoid (real limb geometry: plane
+    # sections, silhouettes, and hand grafting all behave); tiny vertex
+    # budgets (shape-only tests) fall back to the cheap blob.
+    try:
+        from tpubody.models import humanoid as humanoid_lib
+
+        return humanoid_lib.humanoid(n_joints=n_joints, n_verts=n_verts,
+                                     seed=seed)
+    except ValueError:
+        return synthetic(n_joints=n_joints, n_verts=n_verts, seed=seed)
