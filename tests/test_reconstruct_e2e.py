@@ -111,6 +111,46 @@ def test_full_pipeline_runs(tmp_path):
 
 
 @pytest.mark.slow
+def test_full_pipeline_humanoid_grafts_hands(tmp_path, capfd):
+    """On the structured capsule humanoid the hand graft must actually
+    HAPPEN (no degradation warning): the reconstructed avatar's wrists
+    host real section rings and the SMPL donor hands attach.  This is
+    the asset-free version of the reference's full main.py +
+    Replace_Hands flow."""
+    from tpubody.models import humanoid as hum
+    from tpubody.render import bodymaps
+
+    H = W = 192
+    smplh = hum.humanoid(52, 6890, seed=0)
+    smpl = hum.humanoid(24, 6890, seed=0)
+    cam_t = np.array([0.0, 0.2, 8.0])
+    center = np.array([W / 2, H / 2], np.float64)
+    focal = 800.0
+    fit = rec.FitResult(
+        shape=np.zeros(10), pose=np.zeros(156),
+        camera_center=center, camera_rotation=np.eye(3),
+        camera_translation=cam_t, camera_fx=focal)
+
+    # The "photo" mask is the humanoid's own rendered silhouette — the
+    # warp is then near-identity and the depth meshes keep real arms.
+    maps = bodymaps.render_body_maps(
+        np.asarray(smplh.v_template), np.asarray(smplh.faces),
+        np.asarray(smpl.weights)[: np.asarray(smplh.v_template).shape[0]],
+        cam_t, center, H, W, focal=focal)
+    mask = (np.asarray(maps.mask) > 0).astype(np.uint8) * 255
+    front_rgb = np.tile(np.array([180, 120, 90], np.uint8), (H, W, 1))
+    back_rgb = np.tile(np.array([90, 120, 180], np.uint8), (H, W, 1))
+
+    out = rec.reconstruct(front_rgb, back_rgb, mask, fit, smplh, smpl,
+                          out_dir=str(tmp_path), cache=True,
+                          replace_hands=True)
+    err = capfd.readouterr().err
+    assert "hand replacement skipped" not in err, err
+    assert np.isfinite(out.avatar.v_template).all()
+    assert (tmp_path / "replace_hands_recover.pkl").exists()
+
+
+@pytest.mark.slow
 def test_full_pipeline_replace_hands_degrades_gracefully(tmp_path, capfd):
     """replace_hands=True on geometry with degenerate wrists (the sphere
     has nothing beyond the wrist planes) warns and keeps the original
