@@ -63,7 +63,8 @@ def _yaw_pitch_roll(key, batch: int, yaw_scale: float,
 
 
 def make_synthesizer(body, size: int = 64, focal: float = 150.0,
-                     cam_z: float = 3.0, pose_scale: float = 0.25,
+                     cam_z: Optional[float] = None,
+                     pose_scale: float = 0.25,
                      window: int = 64, domain_rand: bool = False,
                      n_occluders: int = 2):
     """Returns jit-ready ``synth(key, batch) -> SynthBatch``.
@@ -76,6 +77,16 @@ def make_synthesizer(body, size: int = 64, focal: float = 150.0,
     amodal localization, as OpenPose does for occluded joints).
     """
     faces = jnp.asarray(np.asarray(body.faces), jnp.int32)
+
+    # Auto-framing: center the subject and pick a depth that fits its
+    # whole extent (with pose-variation margin) in ~70% of the crop —
+    # the 1.7 m humanoid and the 0.8 m blob both frame correctly.
+    v0 = np.asarray(body.v_template)
+    center0 = (v0.min(axis=0) + v0.max(axis=0)) / 2.0
+    extent = float((v0.max(axis=0) - v0.min(axis=0)).max()) * 1.25
+    if cam_z is None:
+        cam_z = max(extent * focal / (0.70 * size), 1e-3)
+    base_t = jnp.asarray([-center0[0], -center0[1], cam_z], jnp.float32)
 
     def synth(key, batch: int) -> SynthBatch:
         (kp_key, c_key, rot_key, cam_key, bg_key, photo_key,
@@ -97,16 +108,15 @@ def make_synthesizer(body, size: int = 64, focal: float = 150.0,
             kz, kxy = jax.random.split(cam_key)
             dz = jax.random.uniform(kz, (batch, 1), minval=-0.25,
                                     maxval=0.45)
-            dxy = 0.12 * jax.random.normal(kxy, (batch, 2))
-            cam_t = jnp.concatenate(
-                [dxy, cam_z * (1.0 + dz)], axis=-1)       # (B, 3)
+            dxy = 0.07 * extent * jax.random.normal(kxy, (batch, 2))
+            cam_t = base_t + jnp.concatenate(
+                [dxy, cam_z * dz], axis=-1)               # (B, 3)
             # Low-frequency textured background per example.
             coarse = jax.random.uniform(bg_key, (batch, 6, 6, 3))
             bg = jax.image.resize(coarse, (batch, size, size, 3),
                                   "cubic")
         else:
-            cam_t = jnp.broadcast_to(jnp.asarray([0.0, 0.0, cam_z]),
-                                     (batch, 3))
+            cam_t = jnp.broadcast_to(base_t, (batch, 3))
             bg = jnp.broadcast_to(jnp.ones(3) * 0.15,
                                   (batch, size, size, 3))
 
@@ -163,7 +173,7 @@ def train_pose2d_synthetic(
     batch: int = 8,
     size: int = 64,
     n_joints: int = 24,
-    n_verts: int = 400,
+    n_verts: int = 1200,    # enough for the capsule humanoid's min res
     features: int = 16,
     lr: float = 1e-3,
     seed: int = 0,
@@ -172,8 +182,17 @@ def train_pose2d_synthetic(
 ) -> PoseTrainResult:
     """Train a pose2d detector purely on rendered synthetic bodies."""
     if body is None:
-        body = params_lib.synthetic(n_joints=n_joints, n_verts=n_verts,
-                                    seed=seed)
+        # Structured capsule humanoid when the budget allows: humanlike
+        # silhouettes and limb keypoint semantics (the blob's scattered
+        # point cloud teaches nothing transferable).
+        try:
+            from tpubody.models import humanoid as humanoid_lib
+
+            body = humanoid_lib.humanoid(n_joints=n_joints,
+                                         n_verts=n_verts, seed=0)
+        except ValueError:
+            body = params_lib.synthetic(n_joints=n_joints,
+                                        n_verts=n_verts, seed=seed)
     synth = make_synthesizer(body, size=size, domain_rand=domain_rand)
     model, variables = pose2d.create_pose2d(
         n_keypoints=body.num_joints, features=features, image_size=size)
