@@ -71,6 +71,45 @@ class TestAugment:
         assert j.keypoints2d.shape == ex.keypoints2d.shape
 
 
+class TestRenderedDataset:
+    @pytest.mark.slow  # renders humanoid batches + a train-step compile
+    def test_rendered_hmr_dataset_trains(self):
+        """Renderer-supervised examples carry TRUE labels: rotmats are
+        valid rotations, keypoints lie in frame, and a few HMR train
+        steps descend on them."""
+        import optax
+
+        from tpubody.models import hmr as hmr_lib
+        from tpubody.models import hmr_train
+        from tpubody.models import params as params_lib
+
+        data = ds.rendered_hmr_dataset(8, image_size=48, seed=0)
+        ex = data[0]
+        assert ex.image.dtype == np.uint8
+        dets = np.linalg.det(ex.gt_rotmats)
+        np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+        inframe = ex.keypoints2d[ex.keypoints2d[:, 2] > 0]
+        assert (inframe[:, :2] >= 0).all() and (inframe[:, :2] < 48).all()
+
+        size = 32
+        model = hmr_lib.HMR(mean_params=hmr_lib.default_mean_params(),
+                            n_iter=1, dtype=jnp.float32)
+        smpl = params_lib.synthetic(n_joints=24, n_verts=64, seed=0)
+        tx = optax.adam(1e-4)
+        state = hmr_train.create_train_state(model, tx, image_size=size)
+        step = jax.jit(hmr_train.make_train_step(
+            model, smpl, tx, img_size=float(size)))
+        batch = ds.collate([ds.preprocess_example(e, size=size)
+                            for e in data._examples])
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(4):
+            state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+
 class TestLoader:
     def test_undersized_dataset_raises_not_hangs(self):
         """dataset < batch_size with drop_last can never form a batch; with

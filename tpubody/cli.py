@@ -264,7 +264,12 @@ def _cmd_train_hmr(args) -> int:
     from tpubody.models import params as params_lib
     from tpubody.utils import checkpoint as ckpt_lib
 
-    if args.synthetic:
+    if getattr(args, "render", 0):
+        data = ds.ArrayDataset([
+            ds.preprocess_example(e, size=args.size)
+            for e in ds.rendered_hmr_dataset(
+                args.render, image_size=args.size + 16)._examples])
+    elif args.synthetic:
         data = ds.ArrayDataset([
             ds.preprocess_example(e, size=args.size)
             for e in ds.synthetic_hmr_dataset(
@@ -556,7 +561,11 @@ def main(argv=None) -> int:
                        help="train HMR (keypoint + SMPL supervision)")
     p.add_argument("--data", default=None, help="dataset .npz")
     p.add_argument("--synthetic", type=int, default=0,
-                   help="use N synthetic examples instead of --data")
+                   help="use N synthetic (noise-image) examples instead "
+                        "of --data")
+    p.add_argument("--render", type=int, default=0,
+                   help="use N renderer-supervised humanoid examples "
+                        "(true rotmat/shape/keypoint labels)")
     p.add_argument("--out", required=True, help="checkpoint output dir")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch", type=int, default=32)

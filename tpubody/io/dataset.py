@@ -273,6 +273,45 @@ class DeviceLoader:
             t.join(timeout=5.0)
 
 
+def rendered_hmr_dataset(n: int = 16, image_size: int = 64, seed: int = 0,
+                         n_verts: int = 1200, gen_batch: int = 8
+                         ) -> ArrayDataset:
+    """Renderer-supervised HMR dataset: the capsule humanoid posed and
+    rendered with full domain randomization (pipelines.pose_train
+    synthesizer), with TRUE rotation-matrix / shape / 2D-keypoint labels —
+    real supervision for train-hmr, unlike :func:`synthetic_hmr_dataset`'s
+    noise images (which remain for input-pipeline plumbing tests)."""
+    import jax
+
+    from tpubody.core.rotations import rodrigues
+    from tpubody.models import humanoid as humanoid_lib
+    from tpubody.pipelines import pose_train
+
+    body = humanoid_lib.humanoid(n_joints=24, n_verts=n_verts, seed=0)
+    synth = jax.jit(pose_train.make_synthesizer(
+        body, size=image_size, domain_rand=True), static_argnums=1)
+    rodrigues_b = jax.jit(jax.vmap(rodrigues))
+
+    out: List[HMRExample] = []
+    key = jax.random.PRNGKey(seed)
+    while len(out) < n:
+        key, k = jax.random.split(key)
+        b = synth(k, gen_batch)
+        rots = np.array(rodrigues_b(b.poses))            # (B, 24, 3, 3)
+        # The domain-rand world rotation composes into the global orient
+        # (it rotates about the body center, not joint 0 — the offset is
+        # a translation, absorbed by the camera).
+        rots[:, 0] = np.asarray(b.global_R) @ rots[:, 0]
+        imgs = np.asarray(
+            np.clip(np.asarray(b.images) * 255.0, 0, 255), np.uint8)
+        kps = np.asarray(b.keypoints, np.float32)
+        betas = np.asarray(b.betas, np.float32)
+        for i in range(gen_batch):
+            out.append(HMRExample(imgs[i], kps[i],
+                                  rots[i].astype(np.float32), betas))
+    return ArrayDataset(out[:n])
+
+
 def synthetic_hmr_dataset(n: int = 16, image_size: int = 64,
                           seed: int = 0) -> ArrayDataset:
     """Deterministic random dataset for tests and input-pipeline benches."""

@@ -41,6 +41,11 @@ def project_like_render(points: jnp.ndarray, cam_t: jnp.ndarray,
 class SynthBatch(NamedTuple):
     images: jnp.ndarray       # (B, S, S, 3) in [0,1]
     keypoints: jnp.ndarray    # (B, J, 3) pixel x, y, valid
+    # Ground truth for HMR-style supervision (io/dataset.py
+    # rendered_hmr_dataset); None-free so the batch stays one pytree.
+    poses: jnp.ndarray = ()     # (B, J, 3) axis-angle body pose
+    betas: jnp.ndarray = ()     # (10,) shared shape
+    global_R: jnp.ndarray = ()  # (B, 3, 3) domain-rand world rotation
 
 
 def _yaw_pitch_roll(key, batch: int, yaw_scale: float,
@@ -98,6 +103,7 @@ def make_synthesizer(body, size: int = 64, focal: float = 150.0,
         state = smpl_lib.forward_batch(body, poses, betas, None)
         verts, joints = state.verts, state.joints_posed
 
+        R = jnp.broadcast_to(jnp.eye(3), (batch, 3, 3))
         if domain_rand:
             # Global orientation: rotate verts+joints about the body center.
             R = _yaw_pitch_roll(rot_key, batch, 1.0, 0.15)
@@ -155,7 +161,8 @@ def make_synthesizer(body, size: int = 64, focal: float = 150.0,
         inside = ((kps[..., 0] >= 0) & (kps[..., 0] < size)
                   & (kps[..., 1] >= 0) & (kps[..., 1] < size))
         kps = kps.at[..., 2].set(inside.astype(jnp.float32))
-        return SynthBatch(images=imgs, keypoints=kps)
+        return SynthBatch(images=imgs, keypoints=kps,
+                          poses=poses, betas=betas, global_R=R)
 
     return synth
 
