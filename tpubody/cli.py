@@ -287,7 +287,15 @@ def _cmd_train_hmr(args) -> int:
     model = hmr_lib.HMR(mean_params=hmr_lib.default_mean_params(),
                         n_iter=3, dtype=jnp.float32,
                         remat=getattr(args, "remat", False))
-    smpl = params_lib.synthetic(n_joints=24, n_verts=args.verts, seed=0)
+    if getattr(args, "render", 0):
+        # --render labels come from the capsule humanoid; the reprojection
+        # loss / 3D eval must use the SAME body or their targets are
+        # unreachable.
+        from tpubody.models import humanoid as humanoid_lib
+        smpl = humanoid_lib.humanoid(
+            n_joints=24, n_verts=max(args.verts, 1200), seed=0)
+    else:
+        smpl = params_lib.synthetic(n_joints=24, n_verts=args.verts, seed=0)
     tx = optax.adam(args.lr)
     state = hmr_train.create_train_state(model, tx, image_size=args.size)
     step = jax.jit(hmr_train.make_train_step(

@@ -144,14 +144,31 @@ def _capsule(p0: np.ndarray, p1: np.ndarray, radius: float,
             a01 = r * n_seg + s2
             a10 = (r + 1) * n_seg + s
             a11 = (r + 1) * n_seg + s2
-            faces.append((a00, a10, a01))
-            faces.append((a01, a10, a11))
+            faces.append((a00, a01, a10))
+            faces.append((a01, a11, a10))
     for s in range(n_seg):          # cap fans
         s2 = (s + 1) % n_seg
         faces.append((i_cap0, s2, s))
         last = (n_rings - 1) * n_seg
         faces.append((i_cap1, last + s, last + s2))
-    return verts, np.asarray(faces, np.int32)
+    faces = np.asarray(faces, np.int32)
+    # Orient consistently OUTWARD (renderers split front/back and shade by
+    # winding): flip any face whose normal points against the outward
+    # direction from the capsule axis / cap centers.
+    tri = verts[faces]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    centroid = tri.mean(axis=1)
+    mid = (p0 + p1) / 2.0
+    t = np.clip(((centroid - p0) @ (p1 - p0)) /
+                (float((p1 - p0) @ (p1 - p0)) + 1e-12), 0.0, 1.0)
+    on_axis = p0 + t[:, None] * (p1 - p0)[None]
+    outward = centroid - on_axis
+    near_cap = np.linalg.norm(centroid - mid, axis=1) > \
+        np.linalg.norm(p1 - mid)
+    outward[near_cap] = centroid[near_cap] - mid
+    flip = np.einsum("ij,ij->i", fn, outward) < 0
+    faces[flip] = faces[flip][:, ::-1]
+    return verts, faces
 
 
 def _seg_dist(points: np.ndarray, p0: np.ndarray, p1: np.ndarray
@@ -179,20 +196,42 @@ def humanoid_numpy(n_joints: int = 24, n_verts: Optional[int] = None,
     rng = np.random.default_rng(seed)
 
     bones = [(parents[i], i) for i in range(1, n_joints)]
+
+    def _is_finger(c: int) -> bool:
+        # SMPLH: everything past the 22 body joints is a finger chain
+        # (joints 22..51; note 22/23 are the left index chain, NOT the
+        # SMPL hand joints).
+        return n_joints == 52 and c >= 22
+
     # Budget: per-bone verts = n_rings*n_seg + 2.  Scale n_seg to the
-    # requested count (fingers stay at minimum resolution).
-    n_body_bones = sum(1 for _, c in bones if c < 24)
+    # requested count (fingers stay at minimum resolution), then shrink
+    # until the analytic total fits n_verts exactly-or-below.
+    n_body_bones = sum(1 for _, c in bones if not _is_finger(c))
+    n_finger_bones = len(bones) - n_body_bones
     target = n_verts if n_verts else 64 * n_body_bones
-    finger_cost = (len(bones) - n_body_bones) * (6 * 3 + 2)
-    per_bone = max((target - finger_cost) // max(n_body_bones, 1), 26)
+    finger_cost = n_finger_bones * (6 * 3 + 2)
+    per_bone = max((target - finger_cost) // max(n_body_bones, 1), 20)
     n_seg = int(np.clip(np.sqrt(per_bone / 1.5), 6, 48))
-    n_rings = max(per_bone // n_seg, 3)
+    n_rings = max((per_bone - 2) // n_seg, 3)
+
+    def _total(seg, rings):
+        return n_body_bones * (rings * seg + 2) + finger_cost
+
+    if n_verts is not None:
+        while _total(n_seg, n_rings) > n_verts and n_rings > 3:
+            n_rings -= 1
+        while _total(n_seg, n_rings) > n_verts and n_seg > 6:
+            n_seg -= 1
+        if _total(n_seg, n_rings) > n_verts:
+            raise ValueError(
+                f"humanoid minimum resolution needs "
+                f"{_total(6, 3)} verts; requested {n_verts}")
 
     all_v, all_f, owner_child = [], [], []
     ring_members = {j: [] for j in range(n_joints)}
     offset = 0
     for p, c in bones:
-        if c >= 24:      # finger bone (SMPLH)
+        if _is_finger(c):
             seg, rings, rad = 6, 3, _FINGER_RADIUS
         else:
             seg, rings = n_seg, n_rings

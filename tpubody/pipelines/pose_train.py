@@ -83,15 +83,29 @@ def make_synthesizer(body, size: int = 64, focal: float = 150.0,
     """
     faces = jnp.asarray(np.asarray(body.faces), jnp.int32)
 
-    # Auto-framing: center the subject and pick a depth that fits its
-    # whole extent (with pose-variation margin) in ~70% of the crop —
-    # the 1.7 m humanoid and the 0.8 m blob both frame correctly.
+    # The render path (video.render_frame / project_like_render) applies
+    # the reference's -pi/2 x pre-rotation (model2video.py:300-309),
+    # which maps world +y onto the OPTICAL axis — a y-up standing body
+    # would be viewed top-down.  Pre-rotate by +pi/2 about x so the two
+    # cancel: the image is then a STANDARD pinhole looking down +z at the
+    # y-up body (frontal view, height along image y), and pose/rotation
+    # labels stay in plain world coordinates.
+    _R_UP = jnp.asarray([[1.0, 0.0, 0.0],
+                         [0.0, 0.0, -1.0],
+                         [0.0, 1.0, 0.0]], jnp.float32)
+
+    # Auto-framing in the (post-cancellation) camera frame: center the
+    # subject and pick a depth that fits its whole extent (with
+    # pose-variation margin) in ~70% of the crop — the 1.7 m humanoid and
+    # the 0.8 m blob both frame correctly.
     v0 = np.asarray(body.v_template)
     center0 = (v0.min(axis=0) + v0.max(axis=0)) / 2.0
-    extent = float((v0.max(axis=0) - v0.min(axis=0)).max()) * 1.25
+    extent = float((v0.max(axis=0) - v0.min(axis=0))[:2].max()) * 1.35
+    depth_half = float(v0[:, 2].max() - v0[:, 2].min()) * 0.75 + 0.05
     if cam_z is None:
-        cam_z = max(extent * focal / (0.70 * size), 1e-3)
-    base_t = jnp.asarray([-center0[0], -center0[1], cam_z], jnp.float32)
+        cam_z = max(extent * focal / (0.70 * size), 1e-3) + depth_half
+    base_t = jnp.asarray([-center0[0], -center0[1],
+                          cam_z - center0[2]], jnp.float32)
 
     def synth(key, batch: int) -> SynthBatch:
         (kp_key, c_key, rot_key, cam_key, bg_key, photo_key,
@@ -125,6 +139,10 @@ def make_synthesizer(body, size: int = 64, focal: float = 150.0,
             cam_t = jnp.broadcast_to(base_t, (batch, 3))
             bg = jnp.broadcast_to(jnp.ones(3) * 0.15,
                                   (batch, size, size, 3))
+
+        # Cancel the render path's -pi/2 x pre-rotation (see _R_UP above).
+        verts = verts @ _R_UP.T
+        joints = joints @ _R_UP.T
 
         colors = 0.4 + 0.5 * jax.random.uniform(c_key, (body.num_verts, 3))
         imgs = jax.vmap(
@@ -196,7 +214,7 @@ def train_pose2d_synthetic(
             from tpubody.models import humanoid as humanoid_lib
 
             body = humanoid_lib.humanoid(n_joints=n_joints,
-                                         n_verts=n_verts, seed=0)
+                                         n_verts=n_verts, seed=seed)
         except ValueError:
             body = params_lib.synthetic(n_joints=n_joints,
                                         n_verts=n_verts, seed=seed)
