@@ -172,6 +172,19 @@ def _cmd_fit_video(args) -> int:
     return 0
 
 
+def _cmd_demo(args) -> int:
+    from tpubody.pipelines import demo as demo_lib
+
+    arts = demo_lib.run_demo(
+        args.out, size=args.size, verts=args.verts, seed=args.seed,
+        fit=args.fit, animate_frames=args.frames)
+    for name, path in sorted(arts.items()):
+        print(f"  {name}: {path}")
+    print(f"demo fixture + reconstruction in {args.out} "
+          f"(reusable: `tpubody reconstruct {args.out}`)")
+    return 0
+
+
 def _cmd_export_glb(args) -> int:
     from tpubody.mesh import gltf as gltf_lib
     from tpubody.mesh import rigging
@@ -493,6 +506,21 @@ def main(argv=None) -> int:
     p.add_argument("--verts", type=int, default=6890,
                    help="synthetic-fallback vertex count (tests/benches)")
     p.set_defaults(fn=_cmd_fit_video)
+
+    p = sub.add_parser(
+        "demo",
+        help="asset-free end-to-end demo: generate a reference-layout "
+             "fixture from the capsule humanoid, reconstruct it (with "
+             "hand grafting), animate a clip, export a skinned GLB")
+    p.add_argument("out", help="output fixture/artifact directory")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--verts", type=int, default=3000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--fit", action="store_true",
+                   help="re-fit smplh.pkl from the generated keypoints "
+                        "(staged SMPLify) instead of using ground truth")
+    p.set_defaults(fn=_cmd_demo)
 
     p = sub.add_parser(
         "export-glb",

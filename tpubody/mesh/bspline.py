@@ -61,13 +61,21 @@ def _full_precision(xp):
 
 
 def chord_length_params(points: jnp.ndarray) -> jnp.ndarray:
-    """Normalized chord-length parameters t_0=0 .. t_{n-1}=1."""
+    """Normalized chord-length parameters t_0=0 .. t_{n-1}=1.
+
+    Coincident points would repeat parameters, making the collocation
+    matrix singular (NaN fits — seen on pinched stitch rings where the
+    inner and outer boundary coincide); a tiny uniform blend keeps the
+    parameters strictly increasing.  Interpolation stays exact at the
+    data points regardless of parameterization; only the inter-point
+    shape shifts, by O(1e-4)."""
     xp = _ns(points)
     points = xp.asarray(points)
     d = xp.linalg.norm(xp.diff(points, axis=0), axis=-1)
-    total = xp.maximum(xp.sum(d), 1e-12)
-    t = xp.concatenate([xp.zeros(1, points.dtype), xp.cumsum(d)]) / total
-    return t
+    total = xp.sum(d)
+    d = d + (total + 1e-9) * (1e-4 / max(d.shape[0], 1))
+    t = xp.concatenate([xp.zeros(1, points.dtype), xp.cumsum(d)])
+    return t / t[-1]
 
 
 def averaged_knots(params: jnp.ndarray, degree: int, n: int) -> jnp.ndarray:

@@ -140,15 +140,28 @@ def replace_hands_mesh(
 
     out = {"points": None, "faces": None}
     sides = []
-    for side, (rv, sv, wrist) in (("l", (rec_l_vec, smpl_l_vec, 20)),
-                                  ("r", (rec_r_vec, smpl_r_vec, 21))):
-        rec_ring = slicing.section_ring(verts, body_faces, J[wrist], rv,
-                                        near=J[wrist])
+    for side, (rv, sv, wrist, elbow) in (
+            ("l", (rec_l_vec, smpl_l_vec, 20, 18)),
+            ("r", (rec_r_vec, smpl_r_vec, 21, 19))):
+        # The reconstructed arm often ends short of the wrist joint (tips
+        # erode through render/warp/depth) — slide the section plane
+        # toward the elbow until it cuts a real ring instead of grazing
+        # the arm tip.
+        rec_ring = None
+        cut_at = J[wrist]
+        for t in (0.0, 0.15, 0.3, 0.45):
+            cand = J[wrist] + t * (J[elbow] - J[wrist])
+            ring = slicing.section_ring(verts, body_faces, cand, rv,
+                                        near=cand)
+            if ring.shape[0] >= 6:
+                rec_ring, cut_at = ring, cand
+                break
         smpl_ring = slicing.section_ring(sverts, smpl_faces,
                                          smpl_joints[wrist], sv,
                                          near=smpl_joints[wrist])
-        if rec_ring.shape[0] < 4 or smpl_ring.shape[0] < 4:
+        if rec_ring is None or smpl_ring.shape[0] < 4:
             raise ValueError(f"wrist section failed on side {side}")
+        J[wrist] = cut_at
         sides.append(dict(rv=rv, sv=sv, wrist=wrist, rec_ring=rec_ring,
                           smpl_ring=smpl_ring))
 
