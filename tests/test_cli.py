@@ -259,6 +259,51 @@ def test_cli_infer(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_fit_video_smpl_model_type(tmp_path):
+    """fit-video honors model_type: smpl — 24-joint model from config,
+    BODY_25-only keypoints, (T,72) poses, direct SMPL-24 clip export."""
+    import jax.numpy as jnp
+    from tpubody.fit import joints as joints_lib
+    from tpubody.fit import smplify
+    from tpubody.io import motion as motion_lib
+    from tpubody.models import params as params_lib
+    from tpubody.models import smpl as smpl_lib
+
+    model = params_lib.load_or_synthetic("smpl", n_joints=24, n_verts=600,
+                                         warn=False)
+    state = smpl_lib.forward(model, jnp.zeros((24, 3)), jnp.zeros(10))
+    j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+    proj = np.asarray(smplify._project(
+        j3, jnp.asarray([0.0, 0.0, 6.0]), 800.0,
+        jnp.asarray([128.0, 128.0])))
+    kp_lib.write_openpose_json(
+        str(tmp_path / "000_keypoints.json"),
+        np.concatenate([proj, np.ones((25, 1))], axis=1))
+
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(
+        "model_type: smpl\nfocal_length: 800\nmaxiters: 3\n"
+        "use_vposer: false\nside_view_thsh: 0\n"
+        "data_weights: [1.0]\nbody_pose_prior_weights: [404.0]\n"
+        "shape_weights: [100.0]\nhand_pose_prior_weights: [404.0]\n"
+        "hand_joints_weights: [0.0]\ncoll_loss_weights: [0.0]\n")
+    out_npz = str(tmp_path / "fits.npz")
+    clip = str(tmp_path / "result.pkl")
+    from tpubody import cli
+    rc = cli.main([
+        "fit-video", str(tmp_path / "*_keypoints.json"), out_npz,
+        "--config", str(conf), "--cx", "128", "--cy", "128",
+        "--clip-out", clip, "--verts", "600"])
+    assert rc == 0
+    z = np.load(out_npz)
+    assert z["pose"].shape == (1, 72)
+    mc = motion_lib.read_mixamo(clip)
+    assert mc.poses.shape == (1, 24, 3)
+    # joints 22/23 come straight from the 72-dim fit (not zeroed)
+    np.testing.assert_allclose(mc.poses.reshape(72), z["pose"][0])
+
+
+@pytest.mark.slow
 def test_cli_fit_video_chain_to_animate(tmp_path):
     """photos-of-motion workflow end to end: keypoint JSONs -> fit-video
     (chained) -> result.pkl -> readable as an animate clip."""
