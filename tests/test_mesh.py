@@ -275,6 +275,42 @@ class TestStitchFuzz:
         assert np.isfinite(res.joints3d).all()
 
 
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_thin_appendages_and_specks(self, seed):
+        """The demo-chain regression: 1-2 px-wide appendages pinch the
+        boundary rings so inner == outer, which made the B-spline loft
+        collocation singular (an all-NaN band). Thin arms + disconnected
+        specks must still stitch finite."""
+        rng = np.random.default_rng(seed + 100)
+        H = W = 40
+        yy, xx = np.mgrid[0:H, 0:W]
+        mask = (((xx - 20) ** 2 / 49.0 + (yy - 20) ** 2 / 100.0) < 1)
+        # 1-2 px wide "arms" sticking out both sides
+        row = 14 + int(rng.integers(0, 4))
+        mask[row:row + 1 + int(rng.integers(0, 2)), 2:14] = True
+        mask[row:row + 2, 26:38] = True
+        # disconnected specks (depth fragments)
+        for _ in range(3):
+            sy, sx = rng.integers(2, H - 2), rng.integers(2, W - 2)
+            mask[sy, sx] = True
+        front = np.where(mask, 5.0 + rng.random((H, W)), 0.0)
+        back = np.where(mask, 9.0 + rng.random((H, W)), 0.0)
+        color = rng.uniform(0, 255, (H, W, 3))
+        weights = rng.random((H, W, 24))
+        weights /= weights.sum(-1, keepdims=True)
+        J = np.tile(np.array([[W // 2, H // 2]]), (24, 1))
+        J[16] = [W // 2 - 4, row]; J[17] = [W // 2 + 4, row]
+        J[18] = [W // 2 - 10, row]; J[19] = [W // 2 + 10, row]
+        J[20] = [4, row]; J[21] = [W - 4, row]
+        J[0] = [W // 2, H // 2 + 5]; J[3] = [W // 2, H // 2 - 5]
+        J[1] = [W // 2 - 3, H // 2 + 5]; J[2] = [W // 2 + 3, H // 2 + 5]
+        J = np.clip(J, 1, [W - 2, H - 2])
+        res = stitch.stitch_mesh(front, color, back, color, weights, J)
+        assert np.isfinite(res.points).all()
+        assert res.faces.max() < res.points.shape[0]
+        assert np.isfinite(res.joints3d).all()
+
+
 class TestSlicingFuzz:
     """Property fuzz of the attribute-carrying plane cut: for random
     convex-ish tubes and random planes, the kept half must (a) lie in the
