@@ -693,6 +693,55 @@ class TestGroundTruthRecovery:
         assert pose_err < 0.25, pose_err
 
 
+class TestHumanoidFit:
+    @pytest.mark.slow
+    def test_fit_from_zero_with_limb_ratio_camera(self):
+        """On the capsule humanoid's realistic proportions the limb-ratio
+        depth heuristic (guess_init, reference fitting.py:36-110) must
+        carry the fit WITHOUT an external camera estimate — the blob's
+        random skeleton could never gate this path."""
+        from tpubody.models import humanoid as hum
+
+        model = hum.humanoid(52, 2500, seed=0)
+        rng = np.random.default_rng(5)
+        body63_true = (0.15 * rng.normal(size=63)).astype(np.float32)
+        pose = jnp.concatenate(
+            [jnp.zeros(3), jnp.asarray(body63_true),
+             jnp.zeros(90)]).reshape(52, 3)
+        cam_z = 7.0
+        cam_t_true = jnp.asarray([0.03, -0.05, cam_z])
+        center = np.array([200.0, 200.0])
+        focal = 1200.0
+        state = smpl_lib.forward(model, pose, jnp.zeros(10))
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        proj = np.asarray(smplify._project(j3, cam_t_true, focal,
+                                           jnp.asarray(center)))
+        kps = np.concatenate([proj, np.ones((67, 1))], axis=1)
+
+        cfg = smplify.FitConfig(
+            focal_length=focal, maxiters=40, side_view_thsh=0.0,
+            use_vposer=False,
+            data_weights=(1.0,) * 6,
+            body_pose_prior_weights=(404.0, 404.0, 57.4, 4.78, 4.78, 0.05),
+            shape_weights=(100.0, 50.0, 10.0, 5.0, 5.0, 1.0),
+            hand_pose_prior_weights=(404.0, 404.0, 57.4, 4.78, 4.78, 0.5),
+            hand_joints_weights=(0.0, 0.0, 0.0, 0.1, 2.0, 2.0))
+        out = smplify.fit_frame(model, kps, center, cfg)   # no init_cam_t
+
+        fit_state = smpl_lib.forward(
+            model, jnp.asarray(out.pose.reshape(52, 3), jnp.float32),
+            jnp.asarray(out.shape, jnp.float32))
+        jf = joints_lib.openpose_joints(fit_state.verts,
+                                        fit_state.joints_posed)
+        fit_proj = np.asarray(smplify._project(
+            jf, jnp.asarray(out.camera_translation, jnp.float32), focal,
+            jnp.asarray(center)))
+        reproj = np.linalg.norm(fit_proj - proj, axis=1).mean()
+        depth_rel = abs(float(out.camera_translation[2]) - cam_z) / cam_z
+        assert reproj < 3.0, reproj
+        assert depth_rel < 0.15, depth_rel
+
+
 class TestSMPLModelType:
     """model_type='smpl': the 24-joint body-only fit family
     (reference smpl_config.py:83-84 / util.py smpl_to_openpose :97-100)."""
