@@ -145,11 +145,15 @@ def _cmd_fit_video(args) -> int:
         config = dataclasses.replace(
             config, temporal_weight=args.temporal_weight)
     kps = np.stack([
-        kp_lib.read_openpose_json(p, use_hands=gen_lib._hands(config))
-        .keypoints for p in paths])
+        kp_lib.read_openpose_json(
+            p, use_hands=gen_lib._hands(config),
+            use_face=gen_lib._face(config),
+            use_face_contour=config.use_face_contour).keypoints
+        for p in paths])
     model = params_lib.load_or_synthetic(
-        config.model_type, n_joints=52 if config.model_type == "smplh"
-        else 24, n_verts=args.verts)
+        config.model_type,
+        n_joints=gen_lib._FAMILY_JOINTS[config.model_type],
+        n_verts=args.verts)
     center = np.asarray([args.cx, args.cy], np.float64)
     out = smplify.fit_sequence(model, kps.astype(np.float32), center,
                                config, chained=not args.independent)

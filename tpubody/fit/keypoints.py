@@ -13,6 +13,7 @@ import numpy as np
 
 NUM_BODY25 = 25
 NUM_HAND = 21
+NUM_FACE_CONTOUR = 17
 
 # Permutation mapping the 73 SMPLH+extra joints onto the OpenPose
 # [body25, left-hand21, right-hand21] order (data_parser.py:160-181).
@@ -35,6 +36,21 @@ SMPL_BODY_TO_OPENPOSE = np.array(
      25, 26, 27, 28, 29, 30, 31, 32, 33, 34], np.int32)
 
 
+# SMPL-X (55-joint, model_type='smplx'): 55 model joints, extra surface
+# joints at 55..75 (nose..heels, then fingertips), face landmarks from 76
+# (reference util.py smpl_to_openpose :116-138).  Hand chains sit at
+# 25-39 (left) / 40-54 (right) — shifted +3 vs SMPLH by jaw/leye/reye.
+SMPLX_BODY_TO_OPENPOSE = np.array(
+    [55, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+     56, 57, 58, 59, 60, 61, 62, 63, 64, 65], np.int32)
+SMPLX_LHAND_TO_OPENPOSE = np.array(
+    [20, 37, 38, 39, 66, 25, 26, 27, 67, 28, 29, 30, 68, 34, 35, 36, 69,
+     31, 32, 33, 70], np.int32)
+SMPLX_RHAND_TO_OPENPOSE = np.array(
+    [21, 52, 53, 54, 71, 40, 41, 42, 72, 43, 44, 45, 73, 49, 50, 51, 74,
+     46, 47, 48, 75], np.int32)
+
+
 def smplh_to_openpose(use_hands: bool = True) -> np.ndarray:
     maps = [SMPLH_BODY_TO_OPENPOSE]
     if use_hands:
@@ -45,6 +61,21 @@ def smplh_to_openpose(use_hands: bool = True) -> np.ndarray:
 def smpl_to_openpose() -> np.ndarray:
     """24-joint SMPL -> OpenPose BODY_25 permutation (body only)."""
     return SMPL_BODY_TO_OPENPOSE
+
+
+def smplx_to_openpose(use_hands: bool = True, use_face: bool = False,
+                      use_face_contour: bool = False) -> np.ndarray:
+    """55-joint SMPL-X -> OpenPose permutation (reference util.py:116-138).
+    Face landmarks are appended after the 76 body+extra joints in model
+    order (static 51 then the 17-point contour), which already matches the
+    target keypoint order, so the face mapping is an arange."""
+    maps = [SMPLX_BODY_TO_OPENPOSE]
+    if use_hands:
+        maps += [SMPLX_LHAND_TO_OPENPOSE, SMPLX_RHAND_TO_OPENPOSE]
+    if use_face:
+        maps += [np.arange(76, 127 + NUM_FACE_CONTOUR * use_face_contour,
+                           dtype=np.int32)]
+    return np.concatenate(maps)
 
 
 class Keypoints(NamedTuple):
@@ -113,10 +144,14 @@ def write_openpose_json(path: str, body: np.ndarray,
 def joint_weights(
     joints_to_ign: Sequence[int] = (1, 9, 12),
     use_hands: bool = True,
+    use_face: bool = False,
+    use_face_contour: bool = False,
 ) -> np.ndarray:
     """Per-joint optimization weights: 1 everywhere, 0 for the ignored
-    neck/hips (data_parser.py:98-108: num_joints + 2 extra when hands)."""
-    n = NUM_BODY25 + (2 * NUM_HAND if use_hands else 0)
+    neck/hips (data_parser.py:98-108: num_joints + 2 extra when hands;
+    face rows appended for SMPL-X fits)."""
+    n = NUM_BODY25 + (2 * NUM_HAND if use_hands else 0) + \
+        (NUM_FACE + NUM_FACE_CONTOUR * use_face_contour if use_face else 0)
     w = np.ones(n, np.float32)
     for j in joints_to_ign:
         if 0 <= j < n:

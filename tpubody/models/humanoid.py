@@ -77,23 +77,34 @@ _FINGER_RADIUS = 0.009
 
 def tpose_joints(n_joints: int = 24) -> np.ndarray:
     """(J, 3) canonical T-pose joint positions (24 = SMPL; 52 = SMPLH:
-    the 22 shared body joints + 2x15 procedurally placed finger joints)."""
+    the 22 shared body joints + 2x15 procedurally placed finger joints;
+    55 = SMPL-X: SMPLH's layout plus jaw/left-eye/right-eye under the
+    head)."""
     if n_joints == 24:
         return _SMPL_TPOSE.copy()
-    if n_joints != 52:
-        raise ValueError(f"humanoid supports 24 or 52 joints, got {n_joints}")
-    J = np.zeros((52, 3))
+    if n_joints not in (52, 55):
+        raise ValueError(
+            f"humanoid supports 24, 52 or 55 joints, got {n_joints}")
+    J = np.zeros((n_joints, 3))
     J[:22] = _SMPL_TPOSE[:22]
-    # Finger chains: index, middle, pinky, ring, thumb (the SMPLH
-    # kintree order, params.SMPLH_PARENTS); 3 joints each, extending
-    # along +-x past the wrist with small z fan and y drop.
+    hand_base = {"l": 22, "r": 37}
+    if n_joints == 55:
+        head = _SMPL_TPOSE[15]
+        J[22] = head + np.array([0.00, -0.02, 0.075])   # jaw
+        J[23] = head + np.array([0.032, 0.035, 0.080])  # left eye
+        J[24] = head + np.array([-0.032, 0.035, 0.080])  # right eye
+        hand_base = {"l": 25, "r": 40}
+    # Finger chains: index, middle, pinky, ring, thumb (the SMPLH/SMPL-X
+    # kintree order, params.SMPLH_PARENTS / SMPLX_PARENTS); 3 joints each,
+    # extending along +-x past the wrist with small z fan and y drop.
     finger_z = {"index": 0.030, "middle": 0.010, "pinky": -0.030,
                 "ring": -0.012, "thumb": 0.055}
     finger_y = {"index": 0.0, "middle": 0.0, "pinky": 0.0,
                 "ring": 0.0, "thumb": -0.02}
     order = ("index", "middle", "pinky", "ring", "thumb")
-    for side, wrist, base in (("l", 20, 22), ("r", 21, 37)):
+    for side, wrist in (("l", 20), ("r", 21)):
         sx = 1.0 if side == "l" else -1.0
+        base = hand_base[side]
         for fi, name in enumerate(order):
             for k in range(3):
                 idx = base + 3 * fi + k
@@ -190,8 +201,7 @@ def humanoid_numpy(n_joints: int = 24, n_verts: Optional[int] = None,
     to LBS and to all face-driven geometry)."""
     from tpubody.models import params as params_lib
 
-    parents = (params_lib.SMPL_PARENTS if n_joints == 24
-               else params_lib.SMPLH_PARENTS)
+    parents = params_lib.parents_for(n_joints)
     joints = tpose_joints(n_joints)
     rng = np.random.default_rng(seed)
 
@@ -200,8 +210,14 @@ def humanoid_numpy(n_joints: int = 24, n_verts: Optional[int] = None,
     def _is_finger(c: int) -> bool:
         # SMPLH: everything past the 22 body joints is a finger chain
         # (joints 22..51; note 22/23 are the left index chain, NOT the
-        # SMPL hand joints).
-        return n_joints == 52 and c >= 22
+        # SMPL hand joints).  SMPL-X adds jaw/eyes at 22-24 before the
+        # finger chains; its face nubs get finger-grade (tiny capsule)
+        # resolution too.
+        if n_joints == 52:
+            return c >= 22
+        if n_joints == 55:
+            return c >= 22
+        return False
 
     # Budget: per-bone verts = n_rings*n_seg + 2.  Scale n_seg to the
     # requested count (fingers stay at minimum resolution), then shrink
@@ -310,7 +326,7 @@ def humanoid_numpy(n_joints: int = 24, n_verts: Optional[int] = None,
 
     posedirs = rng.normal(scale=1e-4, size=(V, 3, 9 * (n_joints - 1)))
 
-    return dict(
+    out = dict(
         v_template=v_template,
         shapedirs=shapedirs,
         posedirs=posedirs,
@@ -319,6 +335,22 @@ def humanoid_numpy(n_joints: int = 24, n_verts: Optional[int] = None,
         parents=tuple(parents),
         faces=faces,
     )
+    if n_joints == 55:
+        # SMPL-X face surface: expression modes that deform the head
+        # capsule (jaw open = mode 0 pulls jaw-owned verts down/forward),
+        # plus the synthetic barycentric face-landmark embedding on the
+        # front of the head.
+        expr_dirs = rng.normal(scale=1e-3, size=(V, 3, 10))
+        head_sel = np.isin(owner_child, (15, 22, 23, 24))
+        expr_dirs[~head_sel] *= 0.05
+        jaw_sel = owner_child == 22
+        expr_dirs[jaw_sel, :, 0] = np.array([0.0, -0.02, 0.01])
+        out["expr_dirs"] = expr_dirs
+        idx, bary = params_lib.face_landmark_embedding(
+            v_template, faces, joints[15], jaw_center=joints[22])
+        out["lmk_faces_idx"] = idx
+        out["lmk_bary_coords"] = bary
+    return out
 
 
 def humanoid(n_joints: int = 24, n_verts: Optional[int] = None,
@@ -330,12 +362,4 @@ def humanoid(n_joints: int = 24, n_verts: Optional[int] = None,
 
     dtype = dtype or jnp.float32
     raw = humanoid_numpy(n_joints, n_verts, n_betas, seed)
-    return params_lib.BodyModelParams(
-        v_template=jnp.asarray(raw["v_template"], dtype=dtype),
-        shapedirs=jnp.asarray(raw["shapedirs"], dtype=dtype),
-        posedirs=jnp.asarray(raw["posedirs"], dtype=dtype),
-        j_regressor=jnp.asarray(raw["j_regressor"], dtype=dtype),
-        weights=jnp.asarray(raw["weights"], dtype=dtype),
-        parents=raw["parents"],
-        faces=raw["faces"],
-    )
+    return params_lib.params_from_numpy(raw, dtype=dtype)

@@ -133,7 +133,9 @@ def refine(
         imgs.append(img)
         img_centers.append([W / 2.0, H / 2.0])
         kps.append(kp_lib.read_openpose_json(
-            keyp_path, use_hands=gen_lib._hands(config)).keypoints)
+            keyp_path, use_hands=gen_lib._hands(config),
+            use_face=gen_lib._face(config),
+            use_face_contour=config.use_face_contour).keypoints)
     kps = np.stack(kps).astype(np.float32)
     img_centers = np.asarray(img_centers, np.float32)
 

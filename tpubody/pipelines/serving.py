@@ -108,7 +108,13 @@ def fit_smplh_step(model=None, config=None, dec_params=None):
     def step(req):
         return fitter.apply(req["keypoints"], req["center"])
 
-    n_kp = 67 if (model.num_joints == 52 and config.use_hands) else 25
+    # Keypoint-row contract per family: BODY_25 + hands + SMPL-X face rows
+    # (the same layout fit.keypoints.read_openpose_json/joint_weights use).
+    n_kp = 25
+    if model.num_joints in (52, 55) and config.use_hands:
+        n_kp += 42
+    if model.num_joints == 55 and config.use_face:
+        n_kp += 51 + 17 * config.use_face_contour
     spec = {"keypoints": jax.ShapeDtypeStruct((n_kp, 3), jnp.float32),
             "center": jax.ShapeDtypeStruct((2,), jnp.float32)}
     return step, spec
