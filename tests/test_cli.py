@@ -26,19 +26,57 @@ def test_load_config_yaml_overrides(tmp_path):
 
 
 def test_load_config_model_type_choices(tmp_path):
-    """model_type smpl and smplh load (smpl_config.py:83-84 choices);
-    smplx must fail loudly, not silently fit something else."""
+    """All three smpl_config.py:83-84 model_type choices load; anything
+    else must fail loudly, not silently fit something else."""
     p = str(tmp_path / "conf.yaml")
     with open(p, "w") as f:
-        f.write("model_type: smplx\n")
+        f.write("model_type: mano\n")
     with pytest.raises(ValueError, match="model_type"):
         gen_lib.load_config(p)
-    for mt in ("smpl", "smplh"):
+    for mt in ("smpl", "smplh", "smplx"):
         with open(p, "w") as f:
             f.write(f"model_type: {mt}\n")
         cfg = gen_lib.load_config(p)
         assert cfg.model_type == mt
         assert cfg.focal_length == 5000.0
+
+
+def test_load_config_gender(tmp_path):
+    """The reference --gender flag (smpl_config.py:76-80; the live fixture
+    configs say male) lands on FitConfig and selects the gendered asset in
+    default_model_path; bad values fail loudly."""
+    from tpubody.models import params as params_lib
+
+    assert gen_lib.load_config(None).gender == "male"
+    p = str(tmp_path / "conf.yaml")
+    with open(p, "w") as f:
+        f.write("gender: female\n")
+    assert gen_lib.load_config(p).gender == "female"
+    with open(p, "w") as f:
+        f.write("gender: robot\n")
+    with pytest.raises(ValueError, match="gender"):
+        gen_lib.load_config(p)
+    with pytest.raises(ValueError, match="gender"):
+        params_lib.default_model_path("smpl", gender="robot")
+
+
+def test_default_model_path_gendered_assets(tmp_path, monkeypatch):
+    """Resolution order: gendered asset, gendered env var, neutral asset,
+    generic env var — a gendered request still resolves the neutral asset
+    when no gendered one exists."""
+    from tpubody.models import params as params_lib
+
+    neutral = tmp_path / "n.npz"
+    male = tmp_path / "m.npz"
+    neutral.write_bytes(b"x")
+    for var in ("TPUBODY_SMPL_PATH", "TPUBODY_SMPL_MALE_PATH"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("TPUBODY_SMPL_PATH", str(neutral))
+    assert params_lib.default_model_path("smpl", "male") == str(neutral)
+    male.write_bytes(b"x")
+    monkeypatch.setenv("TPUBODY_SMPL_MALE_PATH", str(male))
+    assert params_lib.default_model_path("smpl", "male") == str(male)
+    assert params_lib.default_model_path("smpl", "female") == str(neutral)
 
 
 def test_load_config_rejects_mismatched_schedules(tmp_path):
@@ -90,6 +128,67 @@ def test_gen_smplh_model_type_smpl(tmp_path):
     assert os.path.exists(str(d / "out" / "smplh.obj"))
     cfg2 = gen_lib.load_config(str(d / "out" / "conf.yaml"))
     assert cfg2.model_type == "smpl"
+
+
+@pytest.mark.slow
+def test_gen_smplh_model_type_smplx(tmp_path):
+    """The fitting pipeline runs end-to-end with model_type: smplx —
+    55-joint humanoid, face keypoints consumed, (165,) pose artifacts,
+    jaw/eye/hand/expression entries in pre_smplh.pkl."""
+    import pickle
+
+    import cv2
+
+    from tpubody.fit import keypoints as kp_lib
+    from tpubody.models import humanoid as humanoid_lib
+    from tpubody.pipelines import reconstruct as rec
+
+    d = tmp_path
+    cv2.imwrite(str(d / "front_rgb.png"),
+                np.full((64, 64, 3), 128, np.uint8))
+    rng = np.random.default_rng(0)
+    # Full OpenPose JSON with hands + face (25 + 2x21 + 70 rows).
+    body = np.concatenate(
+        [rng.uniform(10, 54, (25, 2)), np.ones((25, 1))], 1)
+    hands = [np.concatenate(
+        [rng.uniform(10, 54, (21, 2)), np.ones((21, 1))], 1)
+        for _ in range(2)]
+    kp_lib.write_openpose_json(str(d / "0_keypoints.json"), body,
+                               left_hand=hands[0], right_hand=hands[1])
+    import json
+    with open(str(d / "0_keypoints.json")) as f:
+        doc = json.load(f)
+    face = np.concatenate(
+        [rng.uniform(10, 54, (70, 2)), np.ones((70, 1))], 1)
+    doc["people"][0]["face_keypoints_2d"] = face.reshape(-1).tolist()
+    with open(str(d / "0_keypoints.json"), "w") as f:
+        json.dump(doc, f)
+
+    model = humanoid_lib.humanoid(n_joints=55, n_verts=1600)
+    cfg = gen_lib.load_config(
+        None, model_type="smplx", use_face=True, maxiters=2,
+        focal_length=100.0, use_vposer=False, side_view_thsh=0.0,
+        data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+        shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+        hand_joints_weights=(0.0,), coll_loss_weights=(0.0,),
+        expr_weights=(100.0,), face_joints_weights=(0.5,),
+        jaw_pose_prior_weights=((404.0, 404.0, 404.0),))
+    results = gen_lib.gen_smplh_batch(
+        [(str(d / "front_rgb.png"), str(d / "0_keypoints.json"),
+          str(d / "out"))],
+        model=model, config=cfg, vposer_ckpt="/nonexistent")
+    assert results[0].pose.shape == (165,)
+    fit = rec.load_fit_pickle(str(d / "out" / "smplh.pkl"))
+    assert fit.pose.shape == (165,)
+    with open(str(d / "out" / "pre_smplh.pkl"), "rb") as f:
+        pre = pickle.load(f)
+    assert pre["jaw_pose"].shape == (3,)
+    assert pre["expression"].shape == (10,)
+    assert pre["left_hand_pose"].shape == (45,)
+    assert os.path.exists(str(d / "out" / "smplh.obj"))
+    assert os.path.exists(str(d / "out" / "smplh2rgb_rend.png"))
+    cfg2 = gen_lib.load_config(str(d / "out" / "conf.yaml"))
+    assert cfg2.model_type == "smplx" and cfg2.use_face
 
 
 def test_dump_config_roundtrip(tmp_path):

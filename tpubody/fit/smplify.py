@@ -37,12 +37,17 @@ from tpubody.models import smpl as smpl_lib
 class FitConfig:
     """Defaults from fit_smplh.yaml + smpl_config.py (SURVEY.md §2 #27)."""
 
-    # Body family (smpl_config.py:83-84 choices; smplx is refused — its
-    # face/expression surface has no SMPLH counterpart here).  'smplh' is
-    # the reference's only live configuration (fit_smplh.yaml:17); 'smpl'
+    # Body family (smpl_config.py:83-84 choices).  'smplh' is the
+    # reference's only live configuration (fit_smplh.yaml:17); 'smpl'
     # fits the 24-joint body-only model (23-joint 69-dim body pose, no
-    # articulated hands, BODY_25 keypoints only).
+    # articulated hands, BODY_25 keypoints only); 'smplx' fits the
+    # 55-joint face+hands model (jaw/eye joints, expression blendshapes,
+    # 51[+17] face landmarks when use_face).
     model_type: str = "smplh"
+    # Gendered body-model selection (smpl_config.py:76-80; the live
+    # fixture configs say male).  Host-side only: picks which asset
+    # pipelines.gen_smplh.default_fit_model resolves, never traced.
+    gender: str = "male"
     focal_length: float = 5000.0
     rho: float = 100.0
     optim_type: str = "lbfgsls"   # adam|lbfgs|lbfgsls|rmsprop|sgd
@@ -77,6 +82,23 @@ class FitConfig:
                                                   4.78, 4.78)
     hand_joints_weights: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.1, 2.0)
     bending_prior_scale: float = 3.17   # fit_single_frame.py:382-383
+    # SMPL-X face surface (smpl_config.py:90-98,137-141,186-202,232-238):
+    # fit the 51 FLAME landmarks (+17 jawline contour) with per-stage
+    # weights, optimize jaw pose / expression coefficients under L2-style
+    # priors.  Eye poses are created but unconstrained by any keypoint, so
+    # they stay at identity (the reference optimizes them to no effect).
+    use_face: bool = False
+    use_face_contour: bool = False
+    optim_jaw: bool = True
+    optim_expression: bool = True
+    num_expression_coeffs: int = 10
+    jaw_prior_type: str = "l2"
+    expr_weights: Tuple[float, ...] = (100.0, 50.0, 10.0, 5.0, 5.0)
+    face_joints_weights: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.1, 2.0)
+    # Per-stage (pitch, yaw, roll) jaw-pose L2 scales; None derives the
+    # reference's fallback [[w]*3 for w in body_pose_prior_weights].
+    jaw_pose_prior_weights: Optional[Tuple[Tuple[float, float, float],
+                                           ...]] = None
     # Self-collision term (fit_smplh.yaml:36,59-64 — off by default there
     # too).  "sphere" = fit.collision sphere proxy (cheap); "mesh" =
     # fit.mesh_collision dense cone-distance-field term, the TPU-native
@@ -99,6 +121,7 @@ class FitConfig:
 
 class FitOutput(NamedTuple):
     pose: np.ndarray            # (156,) global + body63 + hands90
+    #                             ((72,) SMPL; (165,) SMPL-X with jaw+eyes)
     shape: np.ndarray           # (10,)
     camera_translation: np.ndarray  # (3,)
     camera_rotation: np.ndarray     # (3, 3)
@@ -106,6 +129,7 @@ class FitOutput(NamedTuple):
     camera_fx: float
     pose_embedding: np.ndarray  # (32,)
     loss: float
+    expression: Optional[np.ndarray] = None   # (E,) SMPL-X only
 
 
 def _project(joints3d, cam_t, focal, center):
@@ -132,8 +156,9 @@ def _hand_aa(p, key, basis):
 
 def _forward_joints(model, decoder, dec_params, p, use_vposer, focal,
                     center, vertex_ids, hand_bases=(None, None),
-                    use_hands=True):
-    """SMPLH/SMPL forward -> projected OpenPose joints.
+                    use_hands=True, lmk=None, use_face=False,
+                    use_face_contour=False, n_expr=0):
+    """SMPLH/SMPL/SMPL-X forward -> projected OpenPose joints.
 
     TPU-first: VPoser's decoded rotation MATRICES feed LBS directly
     (pose_is_rotmat) — the reference detours rotmat -> axis-angle ->
@@ -143,11 +168,16 @@ def _forward_joints(model, decoder, dec_params, p, use_vposer, focal,
     ``model.num_joints`` selects the body family: 52 = SMPLH (21 body
     joints + 2x15 hands), 24 = SMPL (23 body joints, no articulated hands
     — VPoser's 21 decoded joints get identity wrists appended, the
-    reference's torch.cat-zeros for model_type='smpl').
+    reference's torch.cat-zeros for model_type='smpl'), 55 = SMPL-X
+    (21 body + jaw + 2 eyes + 2x15 hands).  For SMPL-X the caller passes
+    a model whose shapedirs already has the expression blendshapes
+    concatenated (``n_expr`` tail coefficients come from
+    ``p["expression"]``), and ``lmk`` (landmark_gather) when fitting face
+    keypoints.
     """
     from tpubody.core.rotations import rodrigues
     nj = model.num_joints
-    n_body = 21 if nj == 52 else nj - 1
+    n_body = 21 if nj in (52, 55) else nj - 1
     if use_vposer:
         body_R = decoder.apply(dec_params, p["pose_embedding"][None])[0]
         if body_R.shape[0] < n_body:   # SMPL: identity hand joints 22/23
@@ -157,16 +187,27 @@ def _forward_joints(model, decoder, dec_params, p, use_vposer, focal,
     else:
         body_R = rodrigues(p["body_pose"].reshape(n_body, 3))
     parts = [rodrigues(p["global_orient"].reshape(1, 3)), body_R]
-    if nj == 52:
+    if nj == 55:
+        # Jaw + eyes under the head (SMPLX_PARENTS 22-24); eyes carry no
+        # keypoint constraint and stay identity.
+        parts.append(rodrigues(p.get("jaw", jnp.zeros(3)).reshape(1, 3)))
+        parts.append(jnp.broadcast_to(jnp.eye(3), (2, 3, 3)))
+    if nj in (52, 55):
         parts += [
             rodrigues(_hand_aa(p, "lhand", hand_bases[0]).reshape(15, 3)),
             rodrigues(_hand_aa(p, "rhand", hand_bases[1]).reshape(15, 3)),
         ]
     R = jnp.concatenate(parts, axis=0)             # (nj, 3, 3)
-    state = smpl_lib.forward(model, R, p["betas"], pose_is_rotmat=True)
+    beta = p["betas"]
+    if n_expr:
+        beta = jnp.concatenate(
+            [beta, p.get("expression", jnp.zeros(n_expr))])
+    state = smpl_lib.forward(model, R, beta, pose_is_rotmat=True)
     j_op = joints_lib.openpose_joints(state.verts, state.joints_posed,
                                       vertex_ids=vertex_ids,
-                                      use_hands=use_hands)
+                                      use_hands=use_hands,
+                                      lmk=lmk, use_face=use_face,
+                                      use_face_contour=use_face_contour)
     return _project(j_op, p["cam_t"], focal, center), body_R, state
 
 
@@ -188,7 +229,7 @@ def _setup_hand_bases(model, config: FitConfig):
     """PCA hand bases when configured and available: ((comps, mean) x2,
     hand_dim).  SMPL (24 joints) has no articulated hands: dim 0."""
     hand_bases = (None, None)
-    if model.num_joints != 52:
+    if model.num_joints not in (52, 55):
         return hand_bases, 0
     hand_dim = 45
     if (config.use_pca and model.hands_components_l is not None
@@ -202,6 +243,54 @@ def _setup_hand_bases(model, config: FitConfig):
                       (model.hands_components_r[:n], mr))
         hand_dim = n
     return hand_bases, hand_dim
+
+
+class _FamilySetup(NamedTuple):
+    """Model-family-dependent fit setup shared by fit_frame/BatchFitter."""
+    fit_model: object          # model, with expression dirs folded into
+    #                            shapedirs for SMPL-X (betas+expr coeffs)
+    use_hands: bool
+    use_face: bool
+    use_face_contour: bool
+    body_dim: int              # 63 for SMPLH/SMPL-X, 69 for SMPL
+    n_expr: int                # optimized expression coefficients (0 = off)
+    lmk: object                # (vert_ids, bary) landmark gather or None
+    jw: jnp.ndarray            # per-keypoint-row base weights
+    vertex_ids: np.ndarray
+
+
+def _setup_family(model, config: FitConfig) -> _FamilySetup:
+    nj = model.num_joints
+    if nj not in (24, 52, 55):
+        raise ValueError(f"unsupported body family: {nj} joints "
+                         "(24=SMPL, 52=SMPLH, 55=SMPL-X)")
+    use_hands = config.use_hands and nj in (52, 55)
+    body_dim = 63 if nj in (52, 55) else 3 * (nj - 1)
+    use_face = config.use_face and nj == 55
+    use_face_contour = use_face and config.use_face_contour
+    n_expr = 0
+    fit_model = model
+    lmk = None
+    if nj == 55:
+        if config.optim_expression and model.expr_dirs is not None:
+            n_expr = min(config.num_expression_coeffs,
+                         model.num_expressions)
+            fit_model = dataclasses.replace(
+                model, shapedirs=jnp.concatenate(
+                    [model.shapedirs, model.expr_dirs[:, :, :n_expr]],
+                    axis=-1))
+        if use_face:
+            lmk = joints_lib.landmark_gather(model)
+            if lmk is None:
+                raise ValueError(
+                    "use_face needs a model with a face-landmark embedding "
+                    "(lmk_faces_idx/lmk_bary_coords)")
+    jw = jnp.asarray(kp_lib.joint_weights(
+        config.joints_to_ign, use_hands, use_face, use_face_contour),
+        jnp.float32)
+    vertex_ids = joints_lib.extra_vertex_ids(model.num_verts, n_joints=nj)
+    return _FamilySetup(fit_model, use_hands, use_face, use_face_contour,
+                        body_dim, n_expr, lmk, jw, vertex_ids)
 
 
 def _setup_gmm(config: FitConfig, body_dim: int = 63):
@@ -253,9 +342,9 @@ def _setup_collision(model, config: FitConfig):
     return functools.partial(coll_lib.penetration_loss, proxy=coll_proxy)
 
 
-def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
-                    vertex_ids, hand_bases, jw, gmm_prior, coll_fn,
-                    use_hands=True):
+def _make_body_loss(fam: _FamilySetup, decoder, dec_params,
+                    config: FitConfig, focal, hand_bases, gmm_prior,
+                    coll_fn):
     """The staged-fit objective (reference SMPLifyLoss, fitting.py:365-449),
     shared verbatim by fit_frame and BatchFitter so the single-frame and
     batched paths cannot drift apart.
@@ -263,11 +352,18 @@ def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
     Returns ``loss(p, w, gt2d, conf, center, anchor=None)`` where ``anchor``
     is an optional ``(anchor_w, pose_init, orient_init, pose_key)`` temporal
     term (chained video fitting; anchor_w == 0 disables per frame)."""
+    model = fam.fit_model
+    use_hands = fam.use_hands
+    jw = fam.jw
+    n_hand_rows = 2 * 21 if use_hands else 0
+    face_start = 25 + n_hand_rows
 
     def body_loss(p, w, gt2d, conf, center, anchor=None):
         proj, body_R, state = _forward_joints(
             model, decoder, dec_params, p, config.use_vposer, focal,
-            center, vertex_ids, hand_bases, use_hands=use_hands)
+            center, fam.vertex_ids, hand_bases, use_hands=use_hands,
+            lmk=fam.lmk, use_face=fam.use_face,
+            use_face_contour=fam.use_face_contour, n_expr=fam.n_expr)
         # Smooth axis-angle proxy from the rotation skew part
         # (sin(theta)*axis): sign- and monotonicity-preserving on the bend
         # range, and differentiable everywhere (unlike exact mat2aa).
@@ -277,7 +373,9 @@ def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
             (body_R[:, 1, 0] - body_R[:, 0, 1]) / 2,
         ], axis=-1).reshape(-1)
         weights = jw * conf if config.use_joints_conf else jw
-        weights = weights.at[25:].multiply(w["hand_joints"])
+        weights = weights.at[25:face_start].multiply(w["hand_joints"])
+        if fam.use_face:      # per-stage face-landmark weight (SMPL-X)
+            weights = weights.at[face_start:].multiply(w["face_joints"])
         diff = priors_lib.gmof(gt2d - proj, config.rho)
         joint_loss = jnp.sum(weights[:, None] ** 2 * diff) * w["data"] ** 2
         if config.use_vposer:
@@ -294,7 +392,16 @@ def _make_body_loss(model, decoder, dec_params, config: FitConfig, focal,
         hands = ((priors_lib.l2_prior(p["lhand"])
                   + priors_lib.l2_prior(p["rhand"])) * w["hand_prior"] ** 2
                  if "lhand" in p else 0.0)
-        total = joint_loss + pprior + shape_loss + bend + hands
+        # SMPL-X face terms (reference fitting.py:412-423): L2 expression
+        # prior scaled by expr_weight^2; jaw L2 with a per-axis
+        # (pitch, yaw, roll) scale INSIDE the square.
+        face = 0.0
+        if "expression" in p:
+            face = face + priors_lib.l2_prior(p["expression"]) \
+                * w["expr"] ** 2
+        if "jaw" in p:
+            face = face + jnp.sum((p["jaw"] * w["jaw"]) ** 2)
+        total = joint_loss + pprior + shape_loss + bend + hands + face
         if coll_fn is not None:
             total = total + w["coll"] * coll_fn(state.verts)
         if anchor is not None:
@@ -319,6 +426,16 @@ def _stage_weights(config: FitConfig):
     caller-provided schedules is enforced in pipelines.gen_smplh
     .load_config (the reference's fit_single_frame.py:110-147 asserts)."""
     n_stages = len(config.body_pose_prior_weights)
+    # Jaw fallback: the reference derives [[w]*3 per stage] from the body
+    # pose prior weights when no explicit schedule is given.
+    jaw = config.jaw_pose_prior_weights
+    if jaw is None:
+        jaw = tuple((w,) * 3 for w in config.body_pose_prior_weights)
+    else:
+        jaw = tuple(tuple(float(x) for x in row) for row in jaw)
+        if any(len(row) != 3 for row in jaw):
+            raise ValueError("jaw_pose_prior_weights rows must be "
+                             "(pitch, yaw, roll) triples")
     ws = {
         "data": config.data_weights[:n_stages],
         "body_pose": config.body_pose_prior_weights,
@@ -330,6 +447,16 @@ def _stage_weights(config: FitConfig):
                         if config.use_hands else [0.0] * n_stages),
         "coll": (config.coll_loss_weights[:n_stages]
                  if config.interpenetration else [0.0] * n_stages),
+        # SMPL-X-only terms: inert zeros for the other families so a
+        # short (4-stage reference-default) expr/face schedule beside a
+        # 5-stage body schedule cannot trip the length check when unused.
+        "expr": (config.expr_weights[:n_stages]
+                 if config.model_type == "smplx" else [0.0] * n_stages),
+        "face_joints": (config.face_joints_weights[:n_stages]
+                        if config.model_type == "smplx" and config.use_face
+                        else [0.0] * n_stages),
+        "jaw": (jaw[:n_stages] if config.model_type == "smplx"
+                else [(0.0,) * 3] * n_stages),
     }
     for k, v in ws.items():
         if len(v) != n_stages:
@@ -365,17 +492,16 @@ def fit_frame(
     init_params = {k: jnp.asarray(np.asarray(v), jnp.float32)
                    for k, v in (init_params or {}).items()}
 
-    nj = model.num_joints                    # 52 SMPLH / 24 SMPL
-    use_hands = config.use_hands and nj == 52
-    body_dim = 63 if nj == 52 else 3 * (nj - 1)
+    nj = model.num_joints                    # 52 SMPLH / 24 SMPL / 55 SMPL-X
+    fam = _setup_family(model, config)
+    use_hands = fam.use_hands
+    body_dim = fam.body_dim
     kps = jnp.asarray(keypoints, jnp.float32)
     gt2d = kps[:, :2]
     conf = kps[:, 2]
-    jw = jnp.asarray(kp_lib.joint_weights(
-        config.joints_to_ign, use_hands), jnp.float32)
     center = jnp.asarray(np.asarray(camera_center), jnp.float32)
     focal = config.focal_length
-    vertex_ids = joints_lib.extra_vertex_ids(model.num_verts, n_joints=nj)
+    vertex_ids = fam.vertex_ids
 
     # PCA hand bases (use_pca + model carries components): optimize
     # num_pca_comps coefficients per hand instead of 45 axis-angles.
@@ -387,7 +513,7 @@ def fit_frame(
         "pose_embedding": jnp.zeros(32), "body_pose": jnp.zeros(body_dim),
         "cam_t": jnp.zeros(3),
     }
-    if nj == 52:
+    if nj in (52, 55):
         zeros_p["lhand"] = jnp.zeros(hand_dim)
         zeros_p["rhand"] = jnp.zeros(hand_dim)
 
@@ -408,11 +534,11 @@ def fit_frame(
 
     def camera_loss(p):
         proj, _, _ = _forward_joints(
-            model, decoder, dec_params,
+            fam.fit_model, decoder, dec_params,
             {**zeros_p, "cam_t": p["cam_t"],
              "global_orient": p["global_orient"]},
             config.use_vposer, focal, center, vertex_ids, hand_bases,
-            use_hands=use_hands)
+            use_hands=use_hands, n_expr=fam.n_expr)
         err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
         depth = config.depth_loss_weight ** 2 * (p["cam_t"][2] - est_d) ** 2
         return err + depth
@@ -448,9 +574,8 @@ def fit_frame(
 
     coll_fn = _setup_collision(model, config)
 
-    shared_loss = _make_body_loss(model, decoder, dec_params, config, focal,
-                                  vertex_ids, hand_bases, jw, gmm_prior,
-                                  coll_fn, use_hands=use_hands)
+    shared_loss = _make_body_loss(fam, decoder, dec_params, config, focal,
+                                  hand_bases, gmm_prior, coll_fn)
 
     def body_loss(p, w):
         return shared_loss(p, w, gt2d, conf, center)
@@ -478,9 +603,15 @@ def fit_frame(
             "betas": init_params.get("betas", jnp.zeros(10)),
             "cam_t": cam_t0,
         }
-        if nj == 52:
+        if nj in (52, 55):
             p["lhand"] = init_params.get("lhand", jnp.zeros(hand_dim))
             p["rhand"] = init_params.get("rhand", jnp.zeros(hand_dim))
+        if nj == 55:
+            if config.optim_jaw:
+                p["jaw"] = init_params.get("jaw", jnp.zeros(3))
+            if fam.n_expr:
+                p["expression"] = init_params.get(
+                    "expression", jnp.zeros(fam.n_expr))
         # Only the live pose parameterization is optimized: the latent
         # embedding under VPoser, raw 63-dim axis-angle otherwise.
         if config.use_vposer:
@@ -504,15 +635,19 @@ def fit_frame(
     else:
         body = np.asarray(p["body_pose"])
     return _finalize_fit(p, body, hand_bases, camera_center, focal,
-                         loss_val)
+                         loss_val, nj=nj)
 
 
-def _finalize_fit(p, body, hand_bases, camera_center, focal, loss_val
-                  ) -> "FitOutput":
+def _finalize_fit(p, body, hand_bases, camera_center, focal, loss_val,
+                  nj=52) -> "FitOutput":
     """Pose vector assembly: (156,) = global+body63+hands for SMPLH,
-    (72,) = global+body69 for SMPL (hand_dim 0)."""
+    (72,) = global+body69 for SMPL (hand_dim 0), (165,) =
+    global+body63+jaw+leye+reye+hands for SMPL-X."""
     parts = [np.asarray(p["global_orient"]).reshape(3),
              np.asarray(body).reshape(-1)]
+    if nj == 55:
+        parts.append(np.asarray(p.get("jaw", jnp.zeros(3))).reshape(3))
+        parts.append(np.zeros(6))    # leye/reye stay identity
     if "lhand" in p:
         parts.append(np.asarray(
             _hand_aa(p, "lhand", hand_bases[0])).reshape(45))
@@ -528,17 +663,20 @@ def _finalize_fit(p, body, hand_bases, camera_center, focal, loss_val
         camera_fx=focal,
         pose_embedding=np.asarray(p.get("pose_embedding", jnp.zeros(32))),
         loss=loss_val,
+        expression=(np.asarray(p["expression"])
+                    if "expression" in p else None),
     )
 
 
 class FitBatchOutput(NamedTuple):
-    pose: np.ndarray                # (N, 156)
+    pose: np.ndarray                # (N, 156) — (N, 72)/(N, 165) smpl/smplx
     shape: np.ndarray               # (N, 10)
     camera_translation: np.ndarray  # (N, 3)
     camera_center: np.ndarray       # (N, 2)
     camera_fx: float
     pose_embedding: np.ndarray      # (N, 32)
     loss: np.ndarray                # (N,)
+    expression: Optional[np.ndarray] = None   # (N, E) SMPL-X only
 
 
 class BatchFitter:
@@ -563,13 +701,11 @@ class BatchFitter:
         self.config = config
         self.dec_params = dec_params
 
-        nj = model.num_joints                # 52 SMPLH / 24 SMPL
-        use_hands = config.use_hands and nj == 52
-        body_dim = 63 if nj == 52 else 3 * (nj - 1)
-        jw = jnp.asarray(kp_lib.joint_weights(
-            config.joints_to_ign, use_hands), jnp.float32)
-        vertex_ids = joints_lib.extra_vertex_ids(model.num_verts,
-                                                 n_joints=nj)
+        nj = model.num_joints              # 52 SMPLH / 24 SMPL / 55 SMPL-X
+        fam = _setup_family(model, config)
+        use_hands = fam.use_hands
+        body_dim = fam.body_dim
+        vertex_ids = fam.vertex_ids
         hand_bases, hand_dim = _setup_hand_bases(model, config)
         gmm_prior = _setup_gmm(config, body_dim)
         coll_fn = _setup_collision(model, config)
@@ -578,6 +714,7 @@ class BatchFitter:
         init_idxs = jnp.asarray(config.init_joints_idxs)
         self.hand_bases = hand_bases
         self.body_dim = body_dim
+        self.n_expr = fam.n_expr
         self.pose_dim = 32 if config.use_vposer else body_dim
         self.pose_key = "pose_embedding" if config.use_vposer \
             else "body_pose"
@@ -595,14 +732,12 @@ class BatchFitter:
             "body_pose": jnp.zeros(body_dim),
             "cam_t": jnp.zeros(3),
         }
-        if nj == 52:
+        if nj in (52, 55):
             zeros_p["lhand"] = jnp.zeros(hand_dim)
             zeros_p["rhand"] = jnp.zeros(hand_dim)
 
-        shared_loss = _make_body_loss(model, decoder, dec_params, config,
-                                      focal, vertex_ids, hand_bases, jw,
-                                      gmm_prior, coll_fn,
-                                      use_hands=use_hands)
+        shared_loss = _make_body_loss(fam, decoder, dec_params, config,
+                                      focal, hand_bases, gmm_prior, coll_fn)
 
         def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
                     orient_init, anchor_w):
@@ -623,11 +758,11 @@ class BatchFitter:
 
             def camera_loss(p):
                 proj, _, _ = _forward_joints(
-                    model, decoder, dec_params,
+                    fam.fit_model, decoder, dec_params,
                     {**zeros_p, "cam_t": p["cam_t"],
                      "global_orient": p["global_orient"]},
                     config.use_vposer, focal, center, vertex_ids, hand_bases,
-                    use_hands=use_hands)
+                    use_hands=use_hands, n_expr=fam.n_expr)
                 err = jnp.sum((gt2d[init_idxs] - proj[init_idxs]) ** 2)
                 depth = config.depth_loss_weight ** 2 * \
                     (p["cam_t"][2] - est_d) ** 2
@@ -658,9 +793,14 @@ class BatchFitter:
                     "betas": betas_init,
                     "cam_t": cam_t0,
                 }
-                if nj == 52:
+                if nj in (52, 55):
                     p0["lhand"] = jnp.zeros(hand_dim)
                     p0["rhand"] = jnp.zeros(hand_dim)
+                if nj == 55:
+                    if config.optim_jaw:
+                        p0["jaw"] = jnp.zeros(3)
+                    if fam.n_expr:
+                        p0["expression"] = jnp.zeros(fam.n_expr)
                 p0[pose_key] = pose_init
 
                 def step(p, w):
@@ -686,15 +826,21 @@ class BatchFitter:
             else:
                 body = jnp.reshape(p["body_pose"], (body_dim,))
             parts = [p["global_orient"].reshape(3), body]
-            if nj == 52:
+            if nj == 55:
+                parts += [p.get("jaw", jnp.zeros(3)).reshape(3),
+                          jnp.zeros(6)]     # leye/reye stay identity
+            if nj in (52, 55):
                 parts += [
                     jnp.reshape(_hand_aa(p, "lhand", hand_bases[0]), (45,)),
                     jnp.reshape(_hand_aa(p, "rhand", hand_bases[1]), (45,)),
                 ]
-            pose = jnp.concatenate(parts)      # (156,) SMPLH / (72,) SMPL
+            # (156,) SMPLH / (72,) SMPL / (165,) SMPL-X
+            pose = jnp.concatenate(parts)
             return {
                 "pose": pose, "shape": p["betas"], "cam_t": p["cam_t"],
                 "emb": p.get("pose_embedding", jnp.zeros(32)), "loss": loss,
+                "expression": p.get("expression",
+                                    jnp.zeros(max(fam.n_expr, 1))),
             }
 
         self._fitter = jax.jit(jax.vmap(fit_one))
@@ -763,6 +909,7 @@ class BatchFitter:
             camera_fx=self.config.focal_length,
             pose_embedding=out["emb"][:N],
             loss=out["loss"][:N],
+            expression=(out["expression"][:N] if self.n_expr else None),
         )
 
 
@@ -883,4 +1030,6 @@ def fit_sequence(
         camera_fx=config.focal_length,
         pose_embedding=np.concatenate([o.pose_embedding for o in outs]),
         loss=np.concatenate([o.loss for o in outs]),
+        expression=(np.concatenate([o.expression for o in outs])
+                    if outs[0].expression is not None else None),
     )

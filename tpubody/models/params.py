@@ -40,8 +40,36 @@ SMPLH_PARENTS = (
     21, 37, 38, 21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50,
 )
 
+# SMPLX (55-joint) tree: body 22 (same as SMPLH) + jaw/leye/reye under the
+# head (15) + 2x15 hand chains (index, middle, pinky, ring, thumb) under the
+# wrists (20/21).  Matches the standard SMPL-X kintree_table layout
+# (the reference offers model_type='smplx' as a config choice,
+# lib/Gen_SMPLH/smpl_config.py:84).
+SMPLX_PARENTS = (
+    -1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19,
+    # jaw, left eye, right eye
+    15, 15, 15,
+    # left hand
+    20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38,
+    # right hand
+    21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53,
+)
+
 SMPL_NUM_VERTS = 6890
 SMPL_NUM_FACES = 13776
+SMPLX_NUM_VERTS = 10475
+NUM_FACE_LANDMARKS = 51      # static FLAME-compatible landmarks
+NUM_FACE_CONTOUR = 17        # jawline contour landmarks
+
+
+def parents_for(n_joints: int):
+    if n_joints == 24:
+        return SMPL_PARENTS
+    if n_joints == 52:
+        return SMPLH_PARENTS
+    if n_joints == 55:
+        return SMPLX_PARENTS
+    raise ValueError(f"unsupported joint count {n_joints} (24, 52 or 55)")
 
 
 @jax.tree_util.register_dataclass
@@ -73,10 +101,22 @@ class BodyModelParams:
     hands_components_r: Optional[jnp.ndarray] = None
     hands_mean_l: Optional[jnp.ndarray] = None
     hands_mean_r: Optional[jnp.ndarray] = None
+    # SMPL-X face surface: expression blendshapes (V, 3, E) and the
+    # barycentric face-landmark embedding (static 51 landmarks followed by
+    # the 17 jawline contour points, the smplx lmk_faces_idx /
+    # lmk_bary_coords convention).  Landmark tables are host-side numpy
+    # (consumed once at fit setup to build vertex gathers).
+    expr_dirs: Optional[jnp.ndarray] = None
+    lmk_faces_idx: Optional[np.ndarray] = None     # (51[+17],) int
+    lmk_bary_coords: Optional[np.ndarray] = None   # (51[+17], 3)
 
     @property
     def num_joints(self) -> int:
         return len(self.parents)
+
+    @property
+    def num_expressions(self) -> int:
+        return 0 if self.expr_dirs is None else self.expr_dirs.shape[-1]
 
     @property
     def num_verts(self) -> int:
@@ -94,6 +134,8 @@ class BodyModelParams:
             posedirs=self.posedirs.astype(dtype),
             j_regressor=self.j_regressor.astype(dtype),
             weights=self.weights.astype(dtype),
+            expr_dirs=(None if self.expr_dirs is None
+                       else self.expr_dirs.astype(dtype)),
         )
 
 
@@ -116,20 +158,31 @@ def _parents_from_kintree(kintree_table: np.ndarray) -> Tuple[int, ...]:
     return tuple(parents)
 
 
-def load_pickle(path: str, dtype=jnp.float32) -> BodyModelParams:
-    """Load a SMPL/SMPLH parameter pickle in the reference's on-disk format."""
+def load_pickle(path: str, dtype=jnp.float32, num_betas: int = 10,
+                num_expressions: int = 10) -> BodyModelParams:
+    """Load a SMPL/SMPLH/SMPLX parameter pickle in the reference's on-disk
+    format.  SMPL-X assets pack shape and expression blendshapes into one
+    (V, 3, 400) ``shapedirs`` (shape components in [:300], expression in
+    [300:]) — split per the smplx convention when that layout is present."""
     with open(path, "rb") as f:
         params = pickle.load(f, encoding="iso-8859-1")
     parents = _parents_from_kintree(params["kintree_table"])
     J = len(parents)
     posedirs = _densify(params["posedirs"]).reshape(-1, 3, 9 * (J - 1))
     shapedirs = _densify(params["shapedirs"])
+    expr_dirs = None
+    if shapedirs.shape[-1] > 300:       # smplx packed shape+expression
+        expr_dirs = shapedirs[:, :, 300:300 + num_expressions]
+        shapedirs = shapedirs[:, :, :num_betas]
 
-    def opt(key):
-        if key in params:
-            return jnp.asarray(_densify(params[key]), dtype=dtype)
+    def opt(key, arr=None):
+        arr = params.get(key) if arr is None else arr
+        if arr is not None:
+            return jnp.asarray(_densify(arr), dtype=dtype)
         return None
 
+    lmk_idx = params.get("lmk_faces_idx")
+    lmk_bary = params.get("lmk_bary_coords")
     return BodyModelParams(
         v_template=jnp.asarray(_densify(params["v_template"]), dtype=dtype),
         shapedirs=jnp.asarray(shapedirs, dtype=dtype),
@@ -142,10 +195,22 @@ def load_pickle(path: str, dtype=jnp.float32) -> BodyModelParams:
         hands_components_r=opt("hands_componentsr"),
         hands_mean_l=opt("hands_meanl"),
         hands_mean_r=opt("hands_meanr"),
+        expr_dirs=opt("expr_dirs", expr_dirs),
+        lmk_faces_idx=(None if lmk_idx is None
+                       else np.asarray(lmk_idx, np.int64)),
+        lmk_bary_coords=(None if lmk_bary is None
+                         else np.asarray(_densify(lmk_bary))),
     )
 
 
 def save_npz(path: str, model: BodyModelParams) -> None:
+    extras = {}
+    for key in ("hands_components_l", "hands_components_r", "hands_mean_l",
+                "hands_mean_r", "expr_dirs", "lmk_faces_idx",
+                "lmk_bary_coords"):
+        val = getattr(model, key)
+        if val is not None:
+            extras[key] = np.asarray(val)
     np.savez_compressed(
         path,
         v_template=np.asarray(model.v_template),
@@ -155,11 +220,20 @@ def save_npz(path: str, model: BodyModelParams) -> None:
         weights=np.asarray(model.weights),
         parents=np.asarray(model.parents, dtype=np.int32),
         faces=model.faces,
+        **extras,
     )
 
 
 def load_npz(path: str, dtype=jnp.float32) -> BodyModelParams:
     z = np.load(path)
+
+    def opt(key, as_np=False):
+        if key not in z.files:
+            return None
+        if as_np:
+            return np.asarray(z[key])
+        return jnp.asarray(z[key], dtype=dtype)
+
     return BodyModelParams(
         v_template=jnp.asarray(z["v_template"], dtype=dtype),
         shapedirs=jnp.asarray(z["shapedirs"], dtype=dtype),
@@ -168,6 +242,13 @@ def load_npz(path: str, dtype=jnp.float32) -> BodyModelParams:
         weights=jnp.asarray(z["weights"], dtype=dtype),
         parents=tuple(int(p) for p in z["parents"]),
         faces=np.asarray(z["faces"], dtype=np.int32),
+        hands_components_l=opt("hands_components_l"),
+        hands_components_r=opt("hands_components_r"),
+        hands_mean_l=opt("hands_mean_l"),
+        hands_mean_r=opt("hands_mean_r"),
+        expr_dirs=opt("expr_dirs"),
+        lmk_faces_idx=opt("lmk_faces_idx", as_np=True),
+        lmk_bary_coords=opt("lmk_bary_coords", as_np=True),
     )
 
 
@@ -192,7 +273,7 @@ def _synthetic_numpy(
     (stripped) real model pickles would be.
     """
     rng = np.random.default_rng(seed)
-    parents = SMPL_PARENTS if n_joints == 24 else SMPLH_PARENTS
+    parents = parents_for(n_joints)
     assert len(parents) == n_joints
 
     # Rest skeleton: root at origin, children offset in a repeatable pattern.
@@ -226,7 +307,7 @@ def _synthetic_numpy(
     n_faces = 2 * n_verts - 4 if n_verts == SMPL_NUM_VERTS else n_verts
     faces = rng.integers(0, n_verts, size=(max(n_faces, 4), 3)).astype(np.int32)
 
-    return dict(
+    out = dict(
         v_template=v_template,
         shapedirs=shapedirs,
         posedirs=posedirs,
@@ -235,6 +316,46 @@ def _synthetic_numpy(
         parents=tuple(parents),
         faces=faces,
     )
+    if n_joints == 55:           # SMPL-X: expression + face landmarks
+        expr_dirs = rng.normal(scale=0.005, size=(n_verts, 3, 10))
+        # Concentrate expression deformation on head-owned vertices.
+        head_mask = (owner == 15) | (owner == 22) | (owner == 23) | \
+            (owner == 24)
+        expr_dirs[~head_mask] *= 0.01
+        out["expr_dirs"] = expr_dirs
+        idx, bary = face_landmark_embedding(v_template, faces, joints[15],
+                                            jaw_center=joints[22])
+        out["lmk_faces_idx"] = idx
+        out["lmk_bary_coords"] = bary
+    return out
+
+
+def face_landmark_embedding(v_template: np.ndarray, faces: np.ndarray,
+                            head_center: np.ndarray,
+                            jaw_center: Optional[np.ndarray] = None):
+    """Deterministic synthetic face-landmark embedding with FLAME-like
+    semantics: rows 0-30 (brows/nose/eyes) on forward-facing faces near
+    the head, rows 31-50 (mouth) and the 17 jawline-contour rows on faces
+    nearest the JAW, so jaw articulation actually moves the landmarks it
+    moves on a real face.  Centroid barycentrics.  Real SMPL-X assets
+    carry a learned embedding (lmk_faces_idx/lmk_bary_coords); this
+    stand-in keeps the same contract for asset-free runs."""
+    if jaw_center is None:
+        jaw_center = head_center
+    cent = v_template[np.asarray(faces)].mean(axis=1)
+
+    def _pick(center, n, forward=0.0):
+        score = -np.linalg.norm(cent - center, axis=1) + forward * cent[:, 2]
+        order = np.argsort(-score)
+        pool = order[:max(4 * n, n)]
+        return pool[np.linspace(0, pool.shape[0] - 1, n).astype(int)]
+
+    upper = _pick(head_center, 31, forward=0.5)       # brows/nose/eyes
+    mouth = _pick(jaw_center, NUM_FACE_LANDMARKS - 31)  # mouth rows 31-50
+    contour = _pick(jaw_center, NUM_FACE_CONTOUR)     # jawline
+    sel = np.concatenate([upper, mouth, contour])
+    bary = np.full((sel.shape[0], 3), 1.0 / 3.0)
+    return sel.astype(np.int64), bary
 
 
 def synthetic(
@@ -246,6 +367,11 @@ def synthetic(
 ) -> BodyModelParams:
     """Deterministic synthetic body model (see :func:`_synthetic_numpy`)."""
     raw = _synthetic_numpy(n_joints, n_verts, n_betas, seed)
+    return params_from_numpy(raw, dtype=dtype)
+
+
+def params_from_numpy(raw: dict, dtype=jnp.float32) -> BodyModelParams:
+    """BodyModelParams from a synthetic/humanoid numpy model dict."""
     return BodyModelParams(
         v_template=jnp.asarray(raw["v_template"], dtype=dtype),
         shapedirs=jnp.asarray(raw["shapedirs"], dtype=dtype),
@@ -254,6 +380,10 @@ def synthetic(
         weights=jnp.asarray(raw["weights"], dtype=dtype),
         parents=raw["parents"],
         faces=raw["faces"],
+        expr_dirs=(jnp.asarray(raw["expr_dirs"], dtype=dtype)
+                   if "expr_dirs" in raw else None),
+        lmk_faces_idx=raw.get("lmk_faces_idx"),
+        lmk_bary_coords=raw.get("lmk_bary_coords"),
     )
 
 
@@ -264,10 +394,21 @@ def synthetic_numpy(
     return _synthetic_numpy(n_joints, n_verts, n_betas, seed)
 
 
-def default_model_path(kind: str = "smpl") -> Optional[str]:
-    """Find a real model asset if one is present in the conventional spots."""
+def default_model_path(kind: str = "smpl",
+                       gender: str = "neutral") -> Optional[str]:
+    """Find a real model asset if one is present in the conventional spots.
+
+    ``gender`` selects a gender-specific asset first (the reference's
+    --gender flag feeds smplx.create and picks SMPL(H)_{MALE,FEMALE}.pkl,
+    lib/gen_smplh.py:63,90); the neutral asset and the generic env var are
+    the fallback so a gendered request still resolves *something* real."""
+    if gender not in ("neutral", "male", "female"):
+        raise ValueError(f"gender={gender!r} (neutral, male or female)")
+    assets = os.path.join(os.path.dirname(__file__), "assets")
     candidates = [
-        os.path.join(os.path.dirname(__file__), "assets", f"{kind}_neutral.npz"),
+        os.path.join(assets, f"{kind}_{gender}.npz"),
+        os.environ.get(f"TPUBODY_{kind.upper()}_{gender.upper()}_PATH", ""),
+        os.path.join(assets, f"{kind}_neutral.npz"),
         os.environ.get("TPUBODY_" + kind.upper() + "_PATH", ""),
     ]
     for c in candidates:
@@ -278,14 +419,16 @@ def default_model_path(kind: str = "smpl") -> Optional[str]:
 
 def load_or_synthetic(kind: str = "smpl", n_joints: int = 24,
                       n_verts: int = 6890, seed: int = 0,
-                      warn: bool = True) -> BodyModelParams:
+                      warn: bool = True,
+                      gender: str = "neutral") -> BodyModelParams:
     """Resolve a real body model (conventional asset spots /
     TPUBODY_*_PATH env), falling back to a synthetic stand-in with a
     loud warning: meshes built on the synthetic template have valid
     shapes but are geometrically meaningless stand-ins."""
     # Only a full-size request can be satisfied by a real asset; smaller
     # n_verts (tests, benches) always means a synthetic model.
-    path = default_model_path(kind) if n_verts == SMPL_NUM_VERTS else None
+    full_size = SMPLX_NUM_VERTS if kind == "smplx" else SMPL_NUM_VERTS
+    path = default_model_path(kind, gender) if n_verts == full_size else None
     if path:
         return load(path)
     if warn:

@@ -28,21 +28,17 @@ DEFAULT_VPOSER_CKPT = os.environ.get(
 
 # Reference config keys that do NOT map to FitConfig fields and are
 # intentionally handled elsewhere or dead (smpl_config.py:14-272): IO paths
-# and environment selection live in the CLI / gen_smplh arguments; SMPL-X
-# face/expression flags have no SMPLH counterpart; use_cuda/float_dtype are
-# meaningless under XLA (device + dtype are framework-level choices).
+# and environment selection live in the CLI / gen_smplh arguments;
+# use_cuda/float_dtype are meaningless under XLA (device + dtype are
+# framework-level choices).
 _ACKNOWLEDGED_NON_FITCONFIG_KEYS = frozenset({
     # IO / environment (handled by gen_smplh arguments + model loading)
     "input_img_path", "input_keyp_path", "output_folder", "config",
     "vposer_ckpt", "model_folder", "part_segm_fn",
     "summary_folder", "use_cuda", "float_dtype", "interactive",
     "visualize", "save_meshes", "degrees", "dataset", "max_persons",
-    "gender", "gender_lbl_type", "camera_type",
+    "gender_lbl_type", "camera_type",
     "batch_size", "loss_type",
-    # SMPL-X face/expression surface (no SMPLH counterpart)
-    "use_face", "use_face_contour", "optim_jaw", "optim_expression",
-    "jaw_prior_type", "jaw_pose_prior_weights", "expr_weights",
-    "face_joints_weights",
     # Hand-prior variants: tpubody regularizes hand PCA coefficients with
     # L2 (see fit/smplify.py body_loss); the MoG hand prior needs pickles
     # the reference does not ship.
@@ -117,6 +113,13 @@ def load_config(yaml_path: Optional[str] = None,
             elif key == "joints_to_ign" and not isinstance(v, (list, tuple)):
                 # smpl_config.py default is the scalar -1 = "none".
                 cfg[key] = () if v in (-1, None) else (int(v),)
+            elif key == "jaw_pose_prior_weights" and v is not None:
+                # Per-stage (pitch, yaw, roll) triples; the reference CLI
+                # form is a list of '1,2,3' strings.
+                cfg[key] = tuple(
+                    tuple(float(x) for x in
+                          (row.split(",") if isinstance(row, str) else row))
+                    for row in v)
             elif isinstance(v, list):
                 cfg[key] = tuple(v)
             else:
@@ -126,15 +129,18 @@ def load_config(yaml_path: Optional[str] = None,
                 f"conf.yaml keys not understood (would be silently "
                 f"dropped): {sorted(unknown)}")
     cfg.update(overrides)
-    # The fit core handles smplh (the reference's live configuration,
-    # fit_smplh.yaml:17) and smpl (24-joint body-only).  Refuse smplx
-    # (smpl_config.py:83-84's third choice) instead of silently fitting
-    # something else — its face/expression surface has no counterpart.
+    # The fit core handles all three smpl_config.py:83-84 choices: smplh
+    # (the reference's live configuration, fit_smplh.yaml:17), smpl
+    # (24-joint body-only) and smplx (55-joint face+hands with
+    # expression/jaw/face-landmark terms).
     mt = cfg.get("model_type", "smplh")
-    if mt not in ("smpl", "smplh"):
+    if mt not in ("smpl", "smplh", "smplx"):
         raise ValueError(
-            f"model_type={mt!r} is not supported by the fit core "
-            "(smpl or smplh); the reference pipeline only ever runs smplh")
+            f"model_type={mt!r} is not a body family "
+            "(smpl, smplh or smplx)")
+    if cfg.get("gender", "male") not in ("neutral", "male", "female"):
+        raise ValueError(f"gender={cfg['gender']!r} "
+                         "(neutral, male or female; smpl_config.py:76-80)")
     out = smplify.FitConfig(**cfg)
     # Stage-schedule consistency for EXPLICITLY provided schedules (the
     # reference's fit_single_frame.py:110-147 asserts).  FitConfig itself
@@ -143,9 +149,19 @@ def load_config(yaml_path: Optional[str] = None,
     # so a mismatched explicit schedule is a config error, not a request
     # to silently drop entries.
     n_stages = len(out.body_pose_prior_weights)
-    for key in ("data_weights", "shape_weights", "hand_pose_prior_weights",
-                "hand_joints_weights", "coll_loss_weights"):
-        if key in cfg and len(cfg[key]) != n_stages:
+    # Face/expression schedules only bind when they are live (the
+    # reference's asserts sit under `if use_face` — its own fixture
+    # conf.yamls carry 4-stage face/expr defaults beside 5-stage body
+    # schedules with use_face off, fit_single_frame.py:110-147).
+    checked = ["data_weights", "shape_weights", "hand_pose_prior_weights",
+               "hand_joints_weights", "coll_loss_weights"]
+    if out.model_type == "smplx":
+        checked += ["expr_weights", "jaw_pose_prior_weights"]
+        if out.use_face:
+            checked += ["face_joints_weights"]
+    for key in checked:
+        if key in cfg and cfg[key] is not None \
+                and len(cfg[key]) != n_stages:
             raise ValueError(
                 f"{key} has {len(cfg[key])} entries but "
                 f"body_pose_prior_weights defines {n_stages} stages "
@@ -154,25 +170,36 @@ def load_config(yaml_path: Optional[str] = None,
     return out
 
 
+_FAMILY_JOINTS = {"smpl": 24, "smplh": 52, "smplx": 55}
+
+
 def _hands(config: smplify.FitConfig) -> bool:
     """Effective use_hands: SMPL (24-joint) has no articulated hands."""
-    return config.use_hands and config.model_type == "smplh"
+    return config.use_hands and config.model_type in ("smplh", "smplx")
+
+
+def _face(config: smplify.FitConfig) -> bool:
+    """Effective use_face: only SMPL-X carries face landmarks."""
+    return config.use_face and config.model_type == "smplx"
 
 
 def default_fit_model(config: smplify.FitConfig):
-    """Body model per config.model_type: a real asset when present
-    (params.default_model_path / TPUBODY_*_PATH), synthetic — with the
-    loud placeholder warning — otherwise."""
+    """Body model per config.model_type + config.gender: a real asset when
+    present (params.default_model_path — gendered asset/env first, neutral
+    fallback), synthetic — with the loud placeholder warning — otherwise."""
     kind = config.model_type
+    n_verts = (params_lib.SMPLX_NUM_VERTS if kind == "smplx"
+               else params_lib.SMPL_NUM_VERTS)
     return params_lib.load_or_synthetic(
-        kind, n_joints=52 if kind == "smplh" else 24, n_verts=6890, seed=0)
+        kind, n_joints=_FAMILY_JOINTS[kind], n_verts=n_verts, seed=0,
+        gender=config.gender)
 
 
 def check_model_family(model, config: smplify.FitConfig) -> None:
     """Fail at entry — not with a shape error deep inside the jitted
     loss — when the body model's joint count contradicts
     config.model_type (e.g. a 24-joint model under the default smplh)."""
-    want = 52 if config.model_type == "smplh" else 24
+    want = _FAMILY_JOINTS[config.model_type]
     if model.num_joints != want:
         raise ValueError(
             f"model has {model.num_joints} joints but config.model_type="
@@ -214,7 +241,9 @@ def gen_smplh(
     H, W = img.shape[:2]
     camera_center = np.array([W / 2.0, H / 2.0])
 
-    kp = kp_lib.read_openpose_json(keyp_path, use_hands=_hands(config))
+    kp = kp_lib.read_openpose_json(
+        keyp_path, use_hands=_hands(config), use_face=_face(config),
+        use_face_contour=config.use_face_contour)
 
     if model is None:
         model = default_fit_model(config)
@@ -278,7 +307,8 @@ def gen_smplh_batch(
         imgs.append(img)
         centers.append([W / 2.0, H / 2.0])
         kps.append(kp_lib.read_openpose_json(
-            keyp_path, use_hands=_hands(config)).keypoints)
+            keyp_path, use_hands=_hands(config), use_face=_face(config),
+            use_face_contour=config.use_face_contour).keypoints)
 
     batch = smplify.fit_frames(
         model, np.stack(kps).astype(np.float32),
@@ -306,7 +336,9 @@ def save_batch_fit_results(items, batch, imgs, model, config,
             camera_center=batch.camera_center[i],
             camera_fx=batch.camera_fx,
             pose_embedding=batch.pose_embedding[i],
-            loss=float(batch.loss[i]))
+            loss=float(batch.loss[i]),
+            expression=(batch.expression[i]
+                        if batch.expression is not None else None))
         fit = rec.FitResult(
             shape=single.shape, pose=single.pose,
             camera_center=single.camera_center,
@@ -336,6 +368,8 @@ def _save_fit_artifacts(out_path: str,
     from tpubody.models import smpl as smpl_lib
     from tpubody.render import viewer as viewer_lib
 
+    n_pose = len(out.pose)
+    body_dim = 69 if n_pose == 72 else 63
     params = {
         "camera_translation": out.camera_translation,
         "camera_rotation": out.camera_rotation,
@@ -343,19 +377,37 @@ def _save_fit_artifacts(out_path: str,
         "betas": out.shape,
         "global_orient": out.pose[:3],
         "body_pose": (out.pose_embedding if config.use_vposer
-                      else out.pose[3:3 + (63 if len(out.pose) >= 156
-                                           else 69)]),
+                      else out.pose[3:3 + body_dim]),
         "loss": out.loss,
     }
-    if len(out.pose) >= 156:        # SMPLH: articulated hands
+    if n_pose == 156:               # SMPLH: articulated hands
         params["left_hand_pose"] = out.pose[66:111]
         params["right_hand_pose"] = out.pose[111:156]
+    elif n_pose == 165:             # SMPL-X: jaw + eyes + hands
+        params["jaw_pose"] = out.pose[66:69]
+        params["leye_pose"] = out.pose[69:72]
+        params["reye_pose"] = out.pose[72:75]
+        params["left_hand_pose"] = out.pose[75:120]
+        params["right_hand_pose"] = out.pose[120:165]
+        if out.expression is not None:
+            params["expression"] = out.expression
     with open(os.path.join(out_path, "pre_smplh.pkl"), "wb") as f:
         pickle.dump(params, f, protocol=2)
 
+    beta = np.asarray(out.shape, np.float32)
+    fwd_model = model
+    if out.expression is not None and model.expr_dirs is not None:
+        # Render/export with the fitted expression applied (the reference
+        # exports the full body_model_output mesh).
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+        n_expr = len(out.expression)
+        fwd_model = _dc.replace(model, shapedirs=jnp.concatenate(
+            [model.shapedirs, model.expr_dirs[:, :, :n_expr]], axis=-1))
+        beta = np.concatenate([beta, np.asarray(out.expression, np.float32)])
     state = smpl_lib.forward(
-        model, np.asarray(out.pose, np.float32).reshape(-1, 3),
-        np.asarray(out.shape, np.float32))
+        fwd_model, np.asarray(out.pose, np.float32).reshape(-1, 3), beta)
     verts = np.asarray(state.verts)
     # 180-degree rotation about x (fit_single_frame.py:464-468).
     flipped = verts * np.array([1.0, -1.0, -1.0])
