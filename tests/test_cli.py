@@ -79,6 +79,19 @@ def test_default_model_path_gendered_assets(tmp_path, monkeypatch):
     assert params_lib.default_model_path("smpl", "female") == str(neutral)
 
 
+def test_load_config_param_scales_roundtrip(tmp_path):
+    """param_scales (per-group step preconditioning, fit.optim) loads from
+    YAML and survives the dump_config -> load_config roundtrip."""
+    p = str(tmp_path / "conf.yaml")
+    with open(p, "w") as f:
+        f.write("param_scales: {jaw: 8.0, expression: 2.0}\n")
+    cfg = gen_lib.load_config(p)
+    assert cfg.param_scales == {"jaw": 8.0, "expression": 2.0}
+    out = str(tmp_path / "dumped.yaml")
+    gen_lib.dump_config(out, cfg)
+    assert gen_lib.load_config(out).param_scales == cfg.param_scales
+
+
 def test_load_config_rejects_mismatched_schedules(tmp_path):
     """An EXPLICIT weight schedule whose length disagrees with the stage
     count must raise (reference fit_single_frame.py:110-147 asserts), not

@@ -29,6 +29,33 @@ class Optimizer(NamedTuple):
     minimize: Callable[..., Any]
 
 
+def _with_scales(run, scales):
+    """Per-parameter-group diagonal preconditioning by reparameterization.
+
+    ``scales`` maps parameter-dict keys to step scales; the minimizer runs
+    in y-space where ``x = s * y``, so a group with scale s takes s-times
+    larger steps per unit trust region.  This is the cure for compensation
+    valleys on redundant kinematic chains (a single small joint — e.g. the
+    SMPL-X jaw — being absorbed by global pose/shape because full-space
+    L-BFGS sees it as a low-curvature direction).  Identity for missing
+    keys; ``x0`` must be a flat dict of arrays (the fitting stages' shape).
+    """
+    if not scales:
+        return run
+
+    import jax.numpy as jnp
+
+    def wrapped(fun, x0):
+        s = {k: jnp.asarray(float(scales.get(k, 1.0)), jnp.float32)
+             for k in x0}
+        y0 = {k: x0[k] / s[k] for k in x0}
+        res = run(lambda y: fun({k: y[k] * s[k] for k in y}), y0)
+        return res._replace(
+            params={k: res.params[k] * s[k] for k in res.params})
+
+    return wrapped
+
+
 def _first_order_minimizer(tx: optax.GradientTransformation, maxiters: int):
     import jax
 
@@ -64,24 +91,31 @@ def create_optimizer(optim_type: str = "lbfgsls",
                      maxiters: int = 20,
                      gtol: float = 1e-6,
                      ftol: float = 1e-9,
+                     param_scales: Any = None,
                      **_: Any) -> Optimizer:
     """Build the optimizer named by ``optim_type`` (same names and knobs as
-    the reference factory; unknown names raise ValueError)."""
+    the reference factory; unknown names raise ValueError).
+
+    ``param_scales`` (mapping: parameter-dict key -> float) preconditions
+    the named groups — see :func:`_with_scales`."""
     if optim_type == "adam":
         tx = optax.adamw(lr, b1=beta1, b2=beta2, eps=epsilon,
                          weight_decay=weight_decay) if weight_decay else \
             optax.adam(lr, b1=beta1, b2=beta2, eps=epsilon)
-        return Optimizer("adam", tx, _first_order_minimizer(tx, maxiters))
-    if optim_type in ("lbfgs", "lbfgsls"):
+        run = _first_order_minimizer(tx, maxiters)
+    elif optim_type in ("lbfgs", "lbfgsls"):
+        tx = None
+
         def run(fun, x0):
             return lbfgs_lib.minimize(fun, x0, maxiter=maxiters,
                                       gtol=gtol, ftol=ftol)
-        return Optimizer(optim_type, None, run)
-    if optim_type == "rmsprop":
+    elif optim_type == "rmsprop":
         tx = optax.rmsprop(lr, decay=rmsprop_alpha, eps=epsilon,
                            centered=centered, momentum=momentum)
-        return Optimizer("rmsprop", tx, _first_order_minimizer(tx, maxiters))
-    if optim_type == "sgd":
+        run = _first_order_minimizer(tx, maxiters)
+    elif optim_type == "sgd":
         tx = optax.sgd(lr, momentum=momentum, nesterov=use_nesterov)
-        return Optimizer("sgd", tx, _first_order_minimizer(tx, maxiters))
-    raise ValueError(f"Optimizer {optim_type} not supported!")
+        run = _first_order_minimizer(tx, maxiters)
+    else:
+        raise ValueError(f"Optimizer {optim_type} not supported!")
+    return Optimizer(optim_type, tx, _with_scales(run, param_scales))

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Mapping, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,13 @@ class FitConfig:
     # 'mog' MaxMixture, prior.py:36-50,100-231; selected fitting.py:385-388).
     body_prior_type: str = "l2"
     num_gaussians: int = 8
+    # Per-parameter-group step scales (key of the optimized param dict ->
+    # float), a diagonal preconditioner on the minimizer (fit.optim
+    # _with_scales).  Counters compensation valleys on redundant chains:
+    # e.g. {"jaw": 8.0} lets the SMPL-X jaw articulate instead of being
+    # absorbed by global pose/shape.  None = identity (reference behavior;
+    # its torch LBFGS had no group scaling either).
+    param_scales: Optional[Mapping[str, float]] = None
     prior_folder: str = ""        # dir holding gmm_{num_gaussians:02d}.pkl
     use_joints_conf: bool = True  # scale joint weights by detector conf
     joints_to_ign: Tuple[int, ...] = (1, 9, 12)
@@ -548,7 +555,8 @@ def fit_frame(
     from tpubody.fit import optim as optim_lib
     opt = optim_lib.create_optimizer(
         config.optim_type, lr=config.lr, maxiters=config.maxiters,
-        ftol=config.ftol, gtol=config.gtol)
+        ftol=config.ftol, gtol=config.gtol,
+        param_scales=config.param_scales)
 
     cam_res = jax.jit(lambda x0: opt.minimize(camera_loss, x0))(
         {"cam_t": init_t,
@@ -724,7 +732,8 @@ class BatchFitter:
         from tpubody.fit import optim as optim_lib
         opt = optim_lib.create_optimizer(
             config.optim_type, lr=config.lr, maxiters=config.maxiters,
-            ftol=config.ftol, gtol=config.gtol)
+            ftol=config.ftol, gtol=config.gtol,
+            param_scales=config.param_scales)
 
         zeros_p = {
             "global_orient": jnp.zeros(3), "betas": jnp.zeros(10),
