@@ -79,6 +79,22 @@ def test_default_model_path_gendered_assets(tmp_path, monkeypatch):
     assert params_lib.default_model_path("smpl", "female") == str(neutral)
 
 
+def test_load_config_optim_group_flags(tmp_path):
+    """optim_shape / optim_hands / flat_hand_mean (smpl_config.py:93-121)
+    land on FitConfig instead of being acknowledged away."""
+    p = str(tmp_path / "conf.yaml")
+    with open(p, "w") as f:
+        f.write("optim_shape: false\noptim_hands: false\n"
+                "flat_hand_mean: true\n")
+    cfg = gen_lib.load_config(p)
+    assert cfg.optim_shape is False
+    assert cfg.optim_hands is False
+    assert cfg.flat_hand_mean is True
+    dflt = gen_lib.load_config(None)
+    assert dflt.optim_shape and dflt.optim_hands
+    assert dflt.flat_hand_mean is False
+
+
 def test_load_config_param_scales_roundtrip(tmp_path):
     """param_scales (per-group step preconditioning, fit.optim) loads from
     YAML and survives the dump_config -> load_config roundtrip."""

@@ -473,6 +473,73 @@ class TestPCAHands:
                                    atol=1e-6)
         np.testing.assert_allclose(aa[12:], 0.5, atol=1e-6)
 
+    def test_hand_aa_full_dim_mean(self):
+        """Identity components (full-aa parameterization on a model with a
+        rest-pose mean): aa = mean + val, the smplx convention."""
+        mean = jnp.full(45, 0.3)
+        val = jnp.arange(45, dtype=jnp.float32) * 0.01
+        aa = np.asarray(smplify._hand_aa({"rhand": val}, "rhand",
+                                         (None, mean)))
+        np.testing.assert_allclose(aa, 0.3 + 0.01 * np.arange(45),
+                                   atol=1e-6)
+
+    def test_flat_hand_mean_zeroes_the_mean(self):
+        """flat_hand_mean (smpl_config.py:118-121): the hands' rest-pose
+        mean is zeroed in both the PCA and full-aa parameterizations."""
+        import dataclasses
+        rng = np.random.default_rng(3)
+        base = params_lib.synthetic(n_joints=52, n_verts=300, seed=6)
+        model = dataclasses.replace(
+            base,
+            hands_components_l=jnp.asarray(
+                rng.normal(size=(12, 45)), jnp.float32),
+            hands_components_r=jnp.asarray(
+                rng.normal(size=(12, 45)), jnp.float32),
+            hands_mean_l=jnp.full(45, 0.2), hands_mean_r=jnp.full(45, -0.2))
+        # PCA path
+        cfg = smplify.FitConfig(use_pca=True, num_pca_comps=12)
+        (bl, ml), (br, mr) = smplify._setup_hand_bases(model, cfg)[0]
+        np.testing.assert_allclose(np.asarray(ml), 0.2)
+        np.testing.assert_allclose(np.asarray(mr), -0.2)
+        cfg_flat = smplify.FitConfig(use_pca=True, num_pca_comps=12,
+                                     flat_hand_mean=True)
+        (_, ml), (_, mr) = smplify._setup_hand_bases(model, cfg_flat)[0]
+        assert not np.any(np.asarray(ml)) and not np.any(np.asarray(mr))
+        # full-aa path still carries the mean (identity components)
+        cfg_aa = smplify.FitConfig(use_pca=False)
+        bases, dim = smplify._setup_hand_bases(model, cfg_aa)
+        assert dim == 45
+        assert bases[0][0] is None
+        np.testing.assert_allclose(np.asarray(bases[0][1]), 0.2)
+
+
+class TestFrozenGroups:
+    @pytest.mark.slow
+    def test_optim_shape_and_hands_false_freeze_groups(self):
+        """optim_shape/optim_hands=False (smpl_config.py:93-101): the
+        frozen groups keep their init values EXACTLY through the staged
+        fit while the live groups still move."""
+        model = params_lib.synthetic(n_joints=52, n_verts=300, seed=8)
+        rng = np.random.default_rng(11)
+        kps = np.concatenate(
+            [rng.uniform(50, 150, (67, 2)), np.ones((67, 1))], axis=1)
+        betas0 = np.linspace(-0.5, 0.5, 10).astype(np.float32)
+        cfg = smplify.FitConfig(focal_length=500.0, maxiters=3,
+                                optim_shape=False, optim_hands=False,
+                                use_pca=False,
+                                data_weights=(1.0, 1.0),
+                                body_pose_prior_weights=(404.0, 57.4),
+                                shape_weights=(100.0, 50.0),
+                                hand_pose_prior_weights=(404.0, 57.4),
+                                hand_joints_weights=(0.0, 1.0),
+                                coll_loss_weights=(0.0, 0.0))
+        out = smplify.fit_frame(model, kps, np.array([100.0, 100.0]), cfg,
+                                init_params={"betas": betas0})
+        np.testing.assert_array_equal(out.shape, betas0)   # frozen exactly
+        np.testing.assert_array_equal(out.pose[66:156], 0.0)  # rest hands
+        assert np.isfinite(out.loss)
+        assert np.any(out.pose[:66] != 0.0)               # body still fit
+
 
 class TestOrientationFlip:
     @pytest.mark.slow

@@ -246,19 +246,38 @@ def _cmd_train_pose2d(args) -> int:
     from tpubody.pipelines import pose_train
     from tpubody.utils import checkpoint as ckpt_lib
 
+    init_params = None
+    if getattr(args, "resume", None):
+        init_params = ckpt_lib.restore_pytree(args.resume)["variables"]
+        print(f"resuming from {args.resume}")
+
+    # Bundle the architecture with the weights so detect-pose can rebuild
+    # the exact model (the synthetic trainer uses the body's joint count —
+    # its n_joints default — not the 67-slot OpenPose layout).
+    n_kp = 24
+
+    def save(variables):
+        ckpt_lib.save_pytree(args.out, {
+            "variables": variables,
+            "meta": {"n_keypoints": np.asarray(n_kp),
+                     "features": np.asarray(args.features)},
+        })
+
+    save_every = max(100, getattr(args, "save_every", 500))
+
+    def on_chunk(variables, done):
+        # Periodic checkpointing: a crashed device worker costs at most
+        # save_every steps, and --resume continues from the last save.
+        if done % save_every < 100:
+            save(variables)
+
     res = pose_train.train_pose2d_synthetic(
         steps=args.steps, batch=args.batch, size=args.size,
         features=args.features, lr=args.lr,
-        domain_rand=getattr(args, "domain_rand", False))
-    n_kp = int(res.model.n_keypoints)
-    # Bundle the architecture with the weights so detect-pose can rebuild
-    # the exact model (the synthetic trainer uses the body's joint count,
-    # not the 67-slot OpenPose layout).
-    ckpt_lib.save_pytree(args.out, {
-        "variables": res.params,
-        "meta": {"n_keypoints": np.asarray(n_kp),
-                 "features": np.asarray(args.features)},
-    })
+        domain_rand=getattr(args, "domain_rand", False),
+        init_params=init_params, on_chunk=on_chunk)
+    assert int(res.model.n_keypoints) == n_kp
+    save(res.params)
     print(f"pixel err: {res.pixel_err_before:.2f} -> "
           f"{res.pixel_err_after:.2f} px over {args.steps} steps")
     print(f"wrote checkpoint to {args.out}")
@@ -595,6 +614,10 @@ def main(argv=None) -> int:
     p.add_argument("--domain-rand", action="store_true",
                    help="randomize orientation/camera/background/photometry/"
                         "occlusion for transfer (pose_train.make_synthesizer)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint dir to resume variables from")
+    p.add_argument("--save-every", type=int, default=500,
+                   help="checkpoint every N steps (crash costs at most N)")
     p.set_defaults(fn=_cmd_train_pose2d)
 
     p = sub.add_parser("train-hmr",

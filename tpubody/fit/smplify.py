@@ -59,6 +59,16 @@ class FitConfig:
     use_hands: bool = True
     use_pca: bool = True          # PCA hand pose when the model carries
     num_pca_comps: int = 12       # hands_components (fit_smplh.yaml)
+    # Which parameter groups the staged fit optimizes
+    # (smpl_config.py:93-101): frozen groups keep their init values
+    # (betas/hands from init_params, typically zeros = the mean shape /
+    # rest hands) but still flow through the forward + priors.
+    optim_shape: bool = True
+    optim_hands: bool = True
+    # Zero the hands' rest-pose mean (smpl_config.py:118-121): when False
+    # (default) a model's hands_mean offsets the optimized hand pose, the
+    # smplx convention.
+    flat_hand_mean: bool = False
     try_both_orient: bool = False
     # When the 2D shoulder distance is under this many pixels the subject
     # is side-on and both orientations are tried regardless of
@@ -153,11 +163,15 @@ def _project(joints3d, cam_t, focal, center):
 
 def _hand_aa(p, key, basis):
     """Hand axis-angle (45,) from either full aa or PCA coefficients
-    (smplx use_pca parity: aa = mean + coeffs @ components)."""
+    (smplx use_pca parity: aa = mean + coeffs @ components; the mean also
+    applies to the full-aa parameterization unless flat_hand_mean —
+    smplx's hand_pose + hands_mean rest-pose convention)."""
     val = p.get(key, jnp.zeros(45))
     if basis is None:
         return val
     components, mean = basis
+    if components is None:
+        return mean + val
     return mean + val @ components
 
 
@@ -234,21 +248,31 @@ def guess_init_depth(joints3d_op: jnp.ndarray, joints2d: jnp.ndarray,
 
 def _setup_hand_bases(model, config: FitConfig):
     """PCA hand bases when configured and available: ((comps, mean) x2,
-    hand_dim).  SMPL (24 joints) has no articulated hands: dim 0."""
+    hand_dim).  SMPL (24 joints) has no articulated hands: dim 0.
+
+    flat_hand_mean (smpl_config.py:118-121, default False) zeroes the
+    rest-pose mean; otherwise the model's hands_mean offsets BOTH the PCA
+    and the full-aa parameterizations (the smplx convention)."""
     hand_bases = (None, None)
     if model.num_joints not in (52, 55):
         return hand_bases, 0
     hand_dim = 45
+    flat = getattr(config, "flat_hand_mean", False)
+    ml = model.hands_mean_l if (model.hands_mean_l is not None
+                                and not flat) else jnp.zeros(45)
+    mr = model.hands_mean_r if (model.hands_mean_r is not None
+                                and not flat) else jnp.zeros(45)
     if (config.use_pca and model.hands_components_l is not None
             and model.hands_components_r is not None):
         n = config.num_pca_comps
-        ml = model.hands_mean_l if model.hands_mean_l is not None \
-            else jnp.zeros(45)
-        mr = model.hands_mean_r if model.hands_mean_r is not None \
-            else jnp.zeros(45)
         hand_bases = ((model.hands_components_l[:n], ml),
                       (model.hands_components_r[:n], mr))
         hand_dim = n
+    elif (model.hands_mean_l is not None
+          or model.hands_mean_r is not None):
+        # Full-aa parameterization on a model that carries rest-pose
+        # means: aa = mean + val (identity components).
+        hand_bases = ((None, ml), (None, mr))
     return hand_bases, hand_dim
 
 
@@ -585,8 +609,18 @@ def fit_frame(
     shared_loss = _make_body_loss(fam, decoder, dec_params, config, focal,
                                   hand_bases, gmm_prior, coll_fn)
 
+    # Frozen groups (optim_shape/optim_hands false, smpl_config.py:93-101):
+    # excluded from the optimized dict, merged back for the forward/priors
+    # and the final artifacts.
+    frozen = {}
+    if not config.optim_shape:
+        frozen["betas"] = init_params.get("betas", jnp.zeros(10))
+    if nj in (52, 55) and not config.optim_hands:
+        frozen["lhand"] = init_params.get("lhand", jnp.zeros(hand_dim))
+        frozen["rhand"] = init_params.get("rhand", jnp.zeros(hand_dim))
+
     def body_loss(p, w):
-        return shared_loss(p, w, gt2d, conf, center)
+        return shared_loss({**p, **frozen}, w, gt2d, conf, center)
 
     # Per-stage weights, stacked on a leading stage axis and fed through a
     # lax.scan so the entire 5-stage schedule (and both orientation
@@ -628,12 +662,15 @@ def fit_frame(
         else:
             p["body_pose"] = init_params.get("body_pose",
                                              jnp.zeros(body_dim))
+        for k in frozen:
+            p.pop(k, None)
         p, stage_losses = run_stages(p)
         loss_val = float(stage_losses[-1])
         if best is None or loss_val < best[0]:
             best = (loss_val, p)
 
     loss_val, p = best
+    p = {**p, **frozen}
     if config.use_vposer:
         body = np.asarray(vposer_lib.decode_to_axis_angle(
             decoder, dec_params, p["pose_embedding"][None])[0])
@@ -793,8 +830,17 @@ class BatchFitter:
             anchor = ((anchor_w, pose_init, orient_init, pose_key)
                       if config.temporal_weight > 0.0 else None)
 
+            # Frozen groups (optim_shape/optim_hands false): see fit_frame.
+            frozen = {}
+            if not config.optim_shape:
+                frozen["betas"] = betas_init
+            if nj in (52, 55) and not config.optim_hands:
+                frozen["lhand"] = jnp.zeros(hand_dim)
+                frozen["rhand"] = jnp.zeros(hand_dim)
+
             def body_loss(p, w):
-                return shared_loss(p, w, gt2d, conf, center, anchor)
+                return shared_loss({**p, **frozen}, w, gt2d, conf, center,
+                                   anchor)
 
             def run(orient):
                 p0 = {
@@ -811,6 +857,8 @@ class BatchFitter:
                     if fam.n_expr:
                         p0["expression"] = jnp.zeros(fam.n_expr)
                 p0[pose_key] = pose_init
+                for k in frozen:
+                    p0.pop(k, None)
 
                 def step(p, w):
                     res = opt.minimize(functools.partial(body_loss, w=w), p)
@@ -824,6 +872,7 @@ class BatchFitter:
             use_b = allow_flip & (l_b < l_a)
             p = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(use_b, b, a), p_a, p_b)
+            p = {**p, **frozen}
             loss = jnp.where(use_b, l_b, l_a)
 
             if config.use_vposer:

@@ -42,8 +42,7 @@ _ACKNOWLEDGED_NON_FITCONFIG_KEYS = frozenset({
     # Hand-prior variants: tpubody regularizes hand PCA coefficients with
     # L2 (see fit/smplify.py body_loss); the MoG hand prior needs pickles
     # the reference does not ship.
-    "left_hand_prior_type", "right_hand_prior_type", "optim_hands",
-    "optim_shape", "flat_hand_mean",
+    "left_hand_prior_type", "right_hand_prior_type",
     # BVH search internals with no dense-sweep analog: the mesh collision
     # term (fit/mesh_collision.py) evaluates ALL allowed pairs, so a BVH
     # pair cap / point2plane toggle has nothing to configure; part-pair

@@ -204,8 +204,15 @@ def train_pose2d_synthetic(
     seed: int = 0,
     body=None,
     domain_rand: bool = False,
+    init_params=None,
+    on_chunk=None,
 ) -> PoseTrainResult:
-    """Train a pose2d detector purely on rendered synthetic bodies."""
+    """Train a pose2d detector purely on rendered synthetic bodies.
+
+    ``init_params`` resumes from an earlier run's variables (a crashed
+    device worker then costs at most one checkpoint interval, not the
+    run); ``on_chunk(params, steps_done)`` is called after every compiled
+    chunk — the CLI uses it for periodic checkpointing."""
     if body is None:
         # Structured capsule humanoid when the budget allows: humanlike
         # silhouettes and limb keypoint semantics (the blob's scattered
@@ -221,6 +228,8 @@ def train_pose2d_synthetic(
     synth = make_synthesizer(body, size=size, domain_rand=domain_rand)
     model, variables = pose2d.create_pose2d(
         n_keypoints=body.num_joints, features=features, image_size=size)
+    if init_params is not None:
+        variables = init_params
     tx = optax.adam(lr)
     opt_state = tx.init(variables)
     synth_fn = jax.jit(synth, static_argnums=1)
@@ -268,6 +277,8 @@ def train_pose2d_synthetic(
         # Chunks are fixed-length for a single compile; the final chunk
         # may run up to chunk-1 extra (unrecorded) steps.
         done += chunk
+        if on_chunk is not None:
+            on_chunk(params, done)
     err1 = pixel_err(params, eval_batch)
     return PoseTrainResult(model=model, params=params,
                            losses=np.asarray(losses),
