@@ -160,6 +160,66 @@ def test_gen_smplh_model_type_smpl(tmp_path):
 
 
 @pytest.mark.slow
+def test_gen_smplh_multi_person(tmp_path):
+    """A two-person OpenPose JSON fits BOTH people in one batched program
+    (the reference fits only keypoints[[0]], gen_smplh.py:158): person 0
+    writes the standard artifact names, person 1 the _p1-suffixed set."""
+    import json
+
+    import cv2
+
+    from tpubody.fit import keypoints as kp_lib
+    from tpubody.models import params as params_lib
+    from tpubody.pipelines import reconstruct as rec
+
+    d = tmp_path
+    cv2.imwrite(str(d / "front_rgb.png"),
+                np.full((64, 64, 3), 128, np.uint8))
+    rng = np.random.default_rng(0)
+    kp_lib.write_openpose_json(
+        str(d / "0_keypoints.json"),
+        np.concatenate([rng.uniform(10, 30, (25, 2)), np.ones((25, 1))], 1))
+    with open(str(d / "0_keypoints.json")) as f:
+        doc = json.load(f)
+    second = np.concatenate(
+        [rng.uniform(34, 54, (25, 2)), np.ones((25, 1))], 1)
+    doc["people"].append({"pose_keypoints_2d": second.reshape(-1).tolist()})
+    with open(str(d / "0_keypoints.json"), "w") as f:
+        json.dump(doc, f)
+    assert kp_lib.num_people(str(d / "0_keypoints.json")) == 2
+
+    model = params_lib.synthetic(n_joints=24, n_verts=300, seed=2)
+    cfg = gen_lib.load_config(
+        None, model_type="smpl", maxiters=2, focal_length=100.0,
+        use_vposer=False, side_view_thsh=0.0,
+        data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+        shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+        hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+    fit0 = gen_lib.gen_smplh(
+        str(d / "front_rgb.png"), str(d / "0_keypoints.json"),
+        str(d / "out"), model=model, config=cfg,
+        vposer_ckpt="/nonexistent")
+    assert fit0.pose.shape == (72,)
+    fit1 = rec.load_fit_pickle(str(d / "out" / "smplh_p1.pkl"))
+    assert fit1.pose.shape == (72,)
+    # Different keypoint clusters -> different solutions.
+    assert not np.allclose(fit0.pose, fit1.pose)
+    for name in ("smplh.pkl", "smplh.obj", "pre_smplh.pkl",
+                 "smplh_p1.obj", "pre_smplh_p1.pkl",
+                 "smplh2rgb_rend_p1.png"):
+        assert os.path.exists(str(d / "out" / name)), name
+    # max_persons: 1 falls back to the single-person path (person 0 only).
+    import dataclasses
+    cfg1 = dataclasses.replace(cfg, max_persons=1)
+    gen_lib.gen_smplh(
+        str(d / "front_rgb.png"), str(d / "0_keypoints.json"),
+        str(d / "out1"), model=model, config=cfg1,
+        vposer_ckpt="/nonexistent")
+    assert os.path.exists(str(d / "out1" / "smplh.pkl"))
+    assert not os.path.exists(str(d / "out1" / "smplh_p1.pkl"))
+
+
+@pytest.mark.slow
 def test_gen_smplh_model_type_smplx(tmp_path):
     """The fitting pipeline runs end-to-end with model_type: smplx —
     55-joint humanoid, face keypoints consumed, (165,) pose artifacts,

@@ -124,6 +124,12 @@ def read_openpose_json(path: str, use_hands: bool = True,
                      use_hands=use_hands)
 
 
+def num_people(path: str) -> int:
+    """How many people an OpenPose JSON carries (len of ``people``)."""
+    with open(path) as f:
+        return len(json.load(f)["people"])
+
+
 def write_openpose_json(path: str, body: np.ndarray,
                         left_hand: np.ndarray = None,
                         right_hand: np.ndarray = None) -> None:

@@ -70,6 +70,10 @@ class FitConfig:
     # smplx convention.
     flat_hand_mean: bool = False
     try_both_orient: bool = False
+    # Fit up to this many detected people per image (smpl_config.py:45-47;
+    # the reference parses every person but fits only keypoints[[0]],
+    # gen_smplh.py:158 — here persons fit in ONE batched program).
+    max_persons: int = 3
     # When the 2D shoulder distance is under this many pixels the subject
     # is side-on and both orientations are tried regardless of
     # try_both_orient (reference fit_single_frame.py:287-290).  0 disables.

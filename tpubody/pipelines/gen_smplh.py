@@ -36,7 +36,7 @@ _ACKNOWLEDGED_NON_FITCONFIG_KEYS = frozenset({
     "input_img_path", "input_keyp_path", "output_folder", "config",
     "vposer_ckpt", "model_folder", "part_segm_fn",
     "summary_folder", "use_cuda", "float_dtype", "interactive",
-    "visualize", "save_meshes", "degrees", "dataset", "max_persons",
+    "visualize", "save_meshes", "degrees", "dataset",
     "gender_lbl_type", "camera_type",
     "batch_size", "loss_type",
     # Hand-prior variants: tpubody regularizes hand PCA coefficients with
@@ -228,7 +228,13 @@ def gen_smplh(
 ) -> rec.FitResult:
     """Fit SMPLH to one image's keypoints; write conf.yaml + smplh.pkl
     (+ pre_smplh.pkl, smplh.obj, smplh2rgb_rend.png like the reference's
-    fit_single_frame.py:440-521 when ``save_artifacts``)."""
+    fit_single_frame.py:440-521 when ``save_artifacts``).
+
+    Multi-person images: up to ``config.max_persons`` detected people fit
+    in ONE batched program (the reference parses every person but fits
+    only keypoints[[0]], gen_smplh.py:158).  Person 0 writes the standard
+    artifact names; person i writes ``smplh_p{i}.pkl`` (+ suffixed
+    side-artifacts).  Returns person 0's FitResult."""
     import cv2
     os.makedirs(out_path, exist_ok=True)
     config = config or load_config(config_yaml)
@@ -240,9 +246,10 @@ def gen_smplh(
     H, W = img.shape[:2]
     camera_center = np.array([W / 2.0, H / 2.0])
 
-    kp = kp_lib.read_openpose_json(
-        keyp_path, use_hands=_hands(config), use_face=_face(config),
-        use_face_contour=config.use_face_contour)
+    n_people = min(kp_lib.num_people(keyp_path), max(1, config.max_persons))
+    read = lambda i: kp_lib.read_openpose_json(  # noqa: E731
+        keyp_path, person=i, use_hands=_hands(config),
+        use_face=_face(config), use_face_contour=config.use_face_contour)
 
     if model is None:
         model = default_fit_model(config)
@@ -253,8 +260,42 @@ def gen_smplh(
     if config.use_vposer and os.path.exists(ckpt):
         dec_params, _ = vposer_lib.load_torch_checkpoint(ckpt)
 
-    out = smplify.fit_frame(model, kp.keypoints, camera_center, config,
-                            dec_params=dec_params)
+    if n_people > 1:
+        kps = np.stack([read(i).keypoints for i in range(n_people)])
+        centers = np.broadcast_to(camera_center, (n_people, 2))
+        batch = smplify.fit_frames(
+            model, kps.astype(np.float32),
+            np.ascontiguousarray(centers, np.float32), config,
+            dec_params=dec_params)
+        fits = []
+        for i in range(n_people):
+            single = smplify.FitOutput(
+                pose=batch.pose[i], shape=batch.shape[i],
+                camera_translation=batch.camera_translation[i],
+                camera_rotation=np.eye(3),
+                camera_center=batch.camera_center[i],
+                camera_fx=batch.camera_fx,
+                pose_embedding=batch.pose_embedding[i],
+                loss=float(batch.loss[i]),
+                expression=(batch.expression[i]
+                            if batch.expression is not None else None))
+            fit = rec.FitResult(
+                shape=single.shape, pose=single.pose,
+                camera_center=single.camera_center,
+                camera_rotation=single.camera_rotation,
+                camera_translation=single.camera_translation,
+                camera_fx=single.camera_fx)
+            suffix = "" if i == 0 else f"_p{i}"
+            rec.save_fit_pickle(
+                os.path.join(out_path, f"smplh{suffix}.pkl"), fit)
+            if save_artifacts:
+                _save_fit_artifacts(out_path, model, single, img, config,
+                                    suffix=suffix)
+            fits.append(fit)
+        return fits[0]
+
+    out = smplify.fit_frame(model, read(0).keypoints, camera_center,
+                            config, dec_params=dec_params)
 
     fit = rec.FitResult(
         shape=out.shape, pose=out.pose,
@@ -355,12 +396,14 @@ def _save_fit_artifacts(out_path: str,
                         model: params_lib.BodyModelParams,
                         out: smplify.FitOutput,
                         img: np.ndarray,
-                        config: smplify.FitConfig) -> None:
+                        config: smplify.FitConfig,
+                        suffix: str = "") -> None:
     """Write the reference's fitting side-artifacts next to smplh.pkl
     (fit_single_frame.py:440-521): pre_smplh.pkl (raw best-orientation
     parameter dict), smplh.obj (fitted mesh, 180-degree x-flip as the
     reference's OpenGL convention), smplh2rgb_rend.png (fit rendered over
-    the photo through the TPU rasterizer instead of pyrender)."""
+    the photo through the TPU rasterizer instead of pyrender).  ``suffix``
+    (e.g. ``"_p1"``) names additional people in multi-person fits."""
     import pickle
 
     from tpubody.mesh import meshio
@@ -390,7 +433,7 @@ def _save_fit_artifacts(out_path: str,
         params["right_hand_pose"] = out.pose[120:165]
         if out.expression is not None:
             params["expression"] = out.expression
-    with open(os.path.join(out_path, "pre_smplh.pkl"), "wb") as f:
+    with open(os.path.join(out_path, f"pre_smplh{suffix}.pkl"), "wb") as f:
         pickle.dump(params, f, protocol=2)
 
     beta = np.asarray(out.shape, np.float32)
@@ -410,7 +453,7 @@ def _save_fit_artifacts(out_path: str,
     verts = np.asarray(state.verts)
     # 180-degree rotation about x (fit_single_frame.py:464-468).
     flipped = verts * np.array([1.0, -1.0, -1.0])
-    meshio.write_obj(os.path.join(out_path, "smplh.obj"),
+    meshio.write_obj(os.path.join(out_path, f"smplh{suffix}.obj"),
                      flipped, np.asarray(model.faces))
 
     viewer_lib.overlay_fit(
@@ -418,4 +461,4 @@ def _save_fit_artifacts(out_path: str,
         verts, np.asarray(model.faces),
         out.camera_translation, out.camera_center,
         focal=float(out.camera_fx),
-        out_path=os.path.join(out_path, "smplh2rgb_rend.png"))
+        out_path=os.path.join(out_path, f"smplh2rgb_rend{suffix}.png"))
