@@ -218,6 +218,18 @@ def test_gen_smplh_multi_person(tmp_path):
     assert os.path.exists(str(d / "out1" / "smplh.pkl"))
     assert not os.path.exists(str(d / "out1" / "smplh_p1.pkl"))
 
+    # The batch driver flattens (dir, person) rows into one program; with
+    # the SAME model/config objects it reuses the already-compiled N=2
+    # fitter from the call above.
+    fits = gen_lib.gen_smplh_batch(
+        [(str(d / "front_rgb.png"), str(d / "0_keypoints.json"),
+          str(d / "outb"))],
+        model=model, config=cfg, vposer_ckpt="/nonexistent")
+    assert len(fits) == 1  # person-0 results, input order
+    np.testing.assert_allclose(fits[0].pose, fit0.pose, atol=1e-5)
+    for name in ("smplh.pkl", "smplh_p1.pkl", "smplh_p1.obj"):
+        assert os.path.exists(str(d / "outb" / name)), name
+
 
 @pytest.mark.slow
 def test_gen_smplh_model_type_smplx(tmp_path):

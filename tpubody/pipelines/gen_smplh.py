@@ -267,31 +267,10 @@ def gen_smplh(
             model, kps.astype(np.float32),
             np.ascontiguousarray(centers, np.float32), config,
             dec_params=dec_params)
-        fits = []
-        for i in range(n_people):
-            single = smplify.FitOutput(
-                pose=batch.pose[i], shape=batch.shape[i],
-                camera_translation=batch.camera_translation[i],
-                camera_rotation=np.eye(3),
-                camera_center=batch.camera_center[i],
-                camera_fx=batch.camera_fx,
-                pose_embedding=batch.pose_embedding[i],
-                loss=float(batch.loss[i]),
-                expression=(batch.expression[i]
-                            if batch.expression is not None else None))
-            fit = rec.FitResult(
-                shape=single.shape, pose=single.pose,
-                camera_center=single.camera_center,
-                camera_rotation=single.camera_rotation,
-                camera_translation=single.camera_translation,
-                camera_fx=single.camera_fx)
-            suffix = "" if i == 0 else f"_p{i}"
-            rec.save_fit_pickle(
-                os.path.join(out_path, f"smplh{suffix}.pkl"), fit)
-            if save_artifacts:
-                _save_fit_artifacts(out_path, model, single, img, config,
-                                    suffix=suffix)
-            fits.append(fit)
+        fits = save_batch_fit_results(
+            [(img_path, keyp_path, out_path)], batch, [img], model, config,
+            save_artifacts=save_artifacts,
+            rows=[(0, p) for p in range(n_people)])
         return fits[0]
 
     out = smplify.fit_frame(model, read(0).keypoints, camera_center,
@@ -338,56 +317,82 @@ def gen_smplh_batch(
     if config.use_vposer and os.path.exists(ckpt):
         dec_params, _ = vposer_lib.load_torch_checkpoint(ckpt)
 
-    imgs, kps, centers = [], [], []
-    for img_path, keyp_path, out_dir in items:
+    imgs, kps, centers, rows = [], [], [], []
+    for idx, (img_path, keyp_path, out_dir) in enumerate(items):
         img = cv2.imread(img_path)
         if img is None:
             raise FileNotFoundError(f"unreadable image: {img_path}")
         H, W = img.shape[:2]
         imgs.append(img)
-        centers.append([W / 2.0, H / 2.0])
-        kps.append(kp_lib.read_openpose_json(
-            keyp_path, use_hands=_hands(config), use_face=_face(config),
-            use_face_contour=config.use_face_contour).keypoints)
+        n_people = min(kp_lib.num_people(keyp_path),
+                       max(1, config.max_persons))
+        for p in range(n_people):
+            centers.append([W / 2.0, H / 2.0])
+            kps.append(kp_lib.read_openpose_json(
+                keyp_path, person=p, use_hands=_hands(config),
+                use_face=_face(config),
+                use_face_contour=config.use_face_contour).keypoints)
+            rows.append((idx, p))
 
     batch = smplify.fit_frames(
         model, np.stack(kps).astype(np.float32),
         np.asarray(centers, np.float32), config,
         dec_params=dec_params, mesh=mesh)
 
-    return save_batch_fit_results(items, batch, imgs, model, config,
-                                  save_artifacts=save_artifacts)
+    fits = save_batch_fit_results(items, batch, imgs, model, config,
+                                  save_artifacts=save_artifacts, rows=rows)
+    # Input-order person-0 results, as before multi-person support.
+    return [fits[rows.index((i, 0))] for i in range(len(items))]
+
+
+def _slice_batch_output(batch, i: int) -> smplify.FitOutput:
+    """Frame ``i`` of a FitBatchOutput as a single-frame FitOutput."""
+    return smplify.FitOutput(
+        pose=batch.pose[i], shape=batch.shape[i],
+        camera_translation=batch.camera_translation[i],
+        camera_rotation=np.eye(3),
+        camera_center=batch.camera_center[i],
+        camera_fx=batch.camera_fx,
+        pose_embedding=batch.pose_embedding[i],
+        loss=float(batch.loss[i]),
+        expression=(batch.expression[i]
+                    if batch.expression is not None else None))
 
 
 def save_batch_fit_results(items, batch, imgs, model, config,
-                           save_artifacts: bool = True):
+                           save_artifacts: bool = True, rows=None):
     """Write each frame of a batched fit as the single-frame driver would:
     conf.yaml + smplh.pkl (+ pre_smplh.pkl / smplh.obj / overlay when
-    ``save_artifacts``) per output dir.  Shared by gen_smplh_batch and
-    pipelines.refine so the two CLI paths emit identical artifact sets."""
+    ``save_artifacts``) per output dir.  Shared by gen_smplh /
+    gen_smplh_batch and pipelines.refine so every CLI path emits identical
+    artifact sets.
+
+    ``rows``: one ``(item_idx, person_idx)`` per batch frame for
+    multi-person batches (person 0 keeps the standard artifact names,
+    person p writes the ``_p{p}``-suffixed set).  Default: frame i is
+    person 0 of item i.  Returns one FitResult per batch frame, in batch
+    order."""
+    if rows is None:
+        rows = [(i, 0) for i in range(len(items))]
     results = []
-    for i, (img_path, keyp_path, out_dir) in enumerate(items):
+    for i, (idx, person) in enumerate(rows):
+        out_dir = items[idx][2]
         os.makedirs(out_dir, exist_ok=True)
-        dump_config(os.path.join(out_dir, "conf.yaml"), config)
-        single = smplify.FitOutput(
-            pose=batch.pose[i], shape=batch.shape[i],
-            camera_translation=batch.camera_translation[i],
-            camera_rotation=np.eye(3),
-            camera_center=batch.camera_center[i],
-            camera_fx=batch.camera_fx,
-            pose_embedding=batch.pose_embedding[i],
-            loss=float(batch.loss[i]),
-            expression=(batch.expression[i]
-                        if batch.expression is not None else None))
+        if person == 0:
+            dump_config(os.path.join(out_dir, "conf.yaml"), config)
+        single = _slice_batch_output(batch, i)
         fit = rec.FitResult(
             shape=single.shape, pose=single.pose,
             camera_center=single.camera_center,
             camera_rotation=single.camera_rotation,
             camera_translation=single.camera_translation,
             camera_fx=single.camera_fx)
-        rec.save_fit_pickle(os.path.join(out_dir, "smplh.pkl"), fit)
+        suffix = "" if person == 0 else f"_p{person}"
+        rec.save_fit_pickle(
+            os.path.join(out_dir, f"smplh{suffix}.pkl"), fit)
         if save_artifacts:
-            _save_fit_artifacts(out_dir, model, single, imgs[i], config)
+            _save_fit_artifacts(out_dir, model, single, imgs[idx], config,
+                                suffix=suffix)
         results.append(fit)
     return results
 
