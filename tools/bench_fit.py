@@ -6,8 +6,10 @@ Measures the full 5-stage reference schedule (maxiters=30, both
 orientation candidates, VPoser parameterization with a random decoder —
 architecture cost, not fit quality) at production scale: cold compile
 once, then warm ms/frame over fresh keypoints.  Prints one JSON line.
-Baseline on one v5e (2026-08-17): N=8, 6890-vert SMPLH -> cold 238 s,
-warm 2.85 s = 356 ms/frame (docs/STATUS.md).
+Baseline on one v5e (2026-08-19, reduced-vertex fit): N=8, 6890-vert
+SMPLH -> cold 136 s, warm 0.99 s = 123 ms/frame; N=64 -> cold 153 s,
+warm 4.26 s = 66.6 ms/frame.  (Full-vertex forward, reduce_verts=False:
+356 ms/frame at N=8, 253 ms/frame at N=64.)
 """
 import json
 import os

@@ -138,6 +138,14 @@ class FitConfig:
     # (it fits stills only).  0 disables; the anchor strength is a traced
     # operand so enabling it per-frame reuses one compiled program.
     temporal_weight: float = 0.0
+    # TPU-first optimization (no reference counterpart): run the staged
+    # fit on an exact reduced model — virtual joint rows (collapsed
+    # J_regressor) + only the surface vertices the objective reads
+    # (params.restrict_model) — instead of the full V-vertex LBS.
+    # Automatically disabled when interpenetration is on (the collision
+    # term consumes the full mesh).  Identical losses/solutions to within
+    # float roundoff; set False to force the full-vertex forward.
+    reduce_verts: bool = True
 
 
 class FitOutput(NamedTuple):
@@ -324,6 +332,19 @@ def _setup_family(model, config: FitConfig) -> _FamilySetup:
         config.joints_to_ign, use_hands, use_face, use_face_contour),
         jnp.float32)
     vertex_ids = joints_lib.extra_vertex_ids(model.num_verts, n_joints=nj)
+    if config.reduce_verts and not config.interpenetration:
+        # The objective only reads joints + these vertex rows: swap in the
+        # exact reduced model (see FitConfig.reduce_verts) and remap the
+        # gathers into it.
+        n_extra = vertex_ids.size
+        flat = np.asarray(vertex_ids, np.int64).reshape(-1)
+        if lmk is not None:
+            flat = np.concatenate(
+                [flat, np.asarray(lmk[0], np.int64).reshape(-1)])
+        fit_model, rows = params_lib.restrict_model(fit_model, flat)
+        vertex_ids = rows[:n_extra]
+        if lmk is not None:
+            lmk = (rows[n_extra:].reshape(np.asarray(lmk[0]).shape), lmk[1])
     return _FamilySetup(fit_model, use_hands, use_face, use_face_contour,
                         body_dim, n_expr, lmk, jw, vertex_ids)
 
@@ -553,7 +574,8 @@ def fit_frame(
         zeros_p["rhand"] = jnp.zeros(hand_dim)
 
     gmm_prior = _setup_gmm(config, body_dim)
-    state0 = smpl_lib.forward(model, jnp.zeros((nj, 3)), zeros_p["betas"])
+    state0 = smpl_lib.forward(fam.fit_model, jnp.zeros((nj, 3)),
+                              jnp.zeros(10 + fam.n_expr))
     j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
                                     use_hands=use_hands,
                                     vertex_ids=vertex_ids)
@@ -795,8 +817,8 @@ class BatchFitter:
             conf = kps[:, 2]
 
             # Frame-independent zero-pose joints: unbatched under vmap.
-            state0 = smpl_lib.forward(model, jnp.zeros((nj, 3)),
-                                      jnp.zeros(10))
+            state0 = smpl_lib.forward(fam.fit_model, jnp.zeros((nj, 3)),
+                                      jnp.zeros(10 + fam.n_expr))
             j0 = joints_lib.openpose_joints(state0.verts, state0.joints_posed,
                                             use_hands=use_hands,
                                             vertex_ids=vertex_ids)
