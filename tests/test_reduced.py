@@ -80,11 +80,25 @@ def test_reduced_family_projected_joints_match(model_type, nj):
                                atol=1e-5)
 
 
-def test_interpenetration_disables_reduction():
+@pytest.mark.parametrize("coll_mode", ["sphere", "mesh"])
+def test_reduced_collision_matches_full(coll_mode):
+    """Interpenetration fits reduce too: the remapped proxy computes the
+    same penalty on reduced verts as the full proxy on full verts."""
     model = params_lib.synthetic(n_joints=24, n_verts=300, seed=0)
-    cfg = smplify.FitConfig(model_type="smpl", interpenetration=True)
-    fam = smplify._setup_family(model, cfg)
-    assert fam.fit_model.num_verts == model.num_verts
+    kw = dict(model_type="smpl", interpenetration=True,
+              coll_mode=coll_mode, coll_n_samples=64, coll_n_faces=64)
+    fam_red = smplify._setup_family(
+        model, smplify.FitConfig(reduce_verts=True, **kw))
+    fam_full = smplify._setup_family(
+        model, smplify.FitConfig(reduce_verts=False, **kw))
+    assert fam_red.fit_model.num_verts < model.num_verts
+
+    pose, beta = _rand_pose_beta(24, seed=5)
+    v_red = smpl_lib.forward(fam_red.fit_model, pose, beta).verts
+    v_full = smpl_lib.forward(fam_full.fit_model, pose, beta).verts
+    np.testing.assert_allclose(float(fam_red.coll_fn(v_red)),
+                               float(fam_full.coll_fn(v_full)),
+                               rtol=1e-4, atol=1e-6)
 
 
 @pytest.mark.slow

@@ -141,10 +141,12 @@ class FitConfig:
     # TPU-first optimization (no reference counterpart): run the staged
     # fit on an exact reduced model — virtual joint rows (collapsed
     # J_regressor) + only the surface vertices the objective reads
-    # (params.restrict_model) — instead of the full V-vertex LBS.
-    # Automatically disabled when interpenetration is on (the collision
-    # term consumes the full mesh).  Identical losses/solutions to within
-    # float roundoff; set False to force the full-vertex forward.
+    # (params.restrict_model) — instead of the full V-vertex LBS.  The
+    # collision proxies' sampled vertex/face rows are included and
+    # remapped, so interpenetration fits reduce too (sphere mode keeps
+    # ~1k of 6890 rows; mesh mode most of them).  Identical
+    # losses/solutions to within float roundoff; set False to force the
+    # full-vertex forward.
     reduce_verts: bool = True
 
 
@@ -300,6 +302,9 @@ class _FamilySetup(NamedTuple):
     lmk: object                # (vert_ids, bary) landmark gather or None
     jw: jnp.ndarray            # per-keypoint-row base weights
     vertex_ids: np.ndarray
+    coll_fn: object            # verts -> penalty, indices matching
+    #                            fit_model's (possibly reduced) verts; None
+    #                            when interpenetration is off
 
 
 def _setup_family(model, config: FitConfig) -> _FamilySetup:
@@ -332,21 +337,45 @@ def _setup_family(model, config: FitConfig) -> _FamilySetup:
         config.joints_to_ign, use_hands, use_face, use_face_contour),
         jnp.float32)
     vertex_ids = joints_lib.extra_vertex_ids(model.num_verts, n_joints=nj)
-    if config.reduce_verts and not config.interpenetration:
-        # The objective only reads joints + these vertex rows: swap in the
-        # exact reduced model (see FitConfig.reduce_verts) and remap the
-        # gathers into it.
-        n_extra = vertex_ids.size
-        flat = np.asarray(vertex_ids, np.int64).reshape(-1)
+    coll = _setup_collision(model, config)   # (loss_fn, full-model proxy)
+    if config.reduce_verts:
+        # The objective only reads joints + these vertex rows (extra
+        # joints, face landmarks, collision-proxy samples): swap in the
+        # exact reduced model (see FitConfig.reduce_verts) and remap every
+        # gather into it.
+        pieces = [np.asarray(vertex_ids, np.int64).reshape(-1)]
         if lmk is not None:
-            flat = np.concatenate(
-                [flat, np.asarray(lmk[0], np.int64).reshape(-1)])
-        fit_model, rows = params_lib.restrict_model(fit_model, flat)
-        vertex_ids = rows[:n_extra]
+            pieces.append(np.asarray(lmk[0], np.int64).reshape(-1))
+        if coll is not None:
+            proxy = coll[1]
+            if hasattr(proxy, "face_vids"):
+                pieces.append(np.asarray(proxy.face_vids,
+                                         np.int64).reshape(-1))
+            pieces.append(np.asarray(proxy.vertex_idx,
+                                     np.int64).reshape(-1))
+        sizes = np.cumsum([p.size for p in pieces])
+        fit_model, rows = params_lib.restrict_model(
+            fit_model, np.concatenate(pieces))
+        parts = np.split(rows, sizes[:-1])
+        vertex_ids = parts[0]
+        k = 1
         if lmk is not None:
-            lmk = (rows[n_extra:].reshape(np.asarray(lmk[0]).shape), lmk[1])
+            lmk = (parts[k].reshape(np.asarray(lmk[0]).shape), lmk[1])
+            k += 1
+        if coll is not None:
+            loss_fn, proxy = coll
+            if hasattr(proxy, "face_vids"):
+                proxy = proxy._replace(
+                    face_vids=parts[k].reshape(-1, 3).astype(np.int32),
+                    vertex_idx=parts[k + 1].astype(np.int32))
+            else:
+                proxy = proxy._replace(
+                    vertex_idx=parts[k].astype(np.int32))
+            coll = (loss_fn, proxy)
+    coll_fn = (functools.partial(coll[0], proxy=coll[1])
+               if coll is not None else None)
     return _FamilySetup(fit_model, use_hands, use_face, use_face_contour,
-                        body_dim, n_expr, lmk, jw, vertex_ids)
+                        body_dim, n_expr, lmk, jw, vertex_ids, coll_fn)
 
 
 def _setup_gmm(config: FitConfig, body_dim: int = 63):
@@ -379,7 +408,11 @@ def _setup_gmm(config: FitConfig, body_dim: int = 63):
 
 
 def _setup_collision(model, config: FitConfig):
-    """Optional self-collision penalty (fitting.py:404-442 equivalents)."""
+    """Optional self-collision penalty (fitting.py:404-442 equivalents).
+
+    Returns ``(loss_fn, proxy)`` or None.  The proxy indexes the FULL
+    model's vertices; _setup_family remaps it when the fit runs on a
+    reduced model."""
     if not config.interpenetration:
         return None
     if config.coll_mode == "mesh":
@@ -389,13 +422,12 @@ def _setup_collision(model, config: FitConfig):
             np.asarray(model.weights), np.asarray(model.parents),
             n_faces=config.coll_n_faces, n_verts=config.coll_n_samples,
             cone_scale=config.coll_cone_scale)
-        return functools.partial(
-            mcoll_lib.mesh_penetration_loss, proxy=mesh_proxy)
+        return mcoll_lib.mesh_penetration_loss, mesh_proxy
     from tpubody.fit import collision as coll_lib
     coll_proxy = coll_lib.build_collision_proxy(
         np.asarray(model.v_template), np.asarray(model.weights),
         np.asarray(model.parents), n_samples=config.coll_n_samples)
-    return functools.partial(coll_lib.penetration_loss, proxy=coll_proxy)
+    return coll_lib.penetration_loss, coll_proxy
 
 
 def _make_body_loss(fam: _FamilySetup, decoder, dec_params,
@@ -630,7 +662,7 @@ def fit_frame(
         orients.append(np.asarray(
             rotmat_to_axis_angle(jnp.asarray(R0 @ Rflip))))
 
-    coll_fn = _setup_collision(model, config)
+    coll_fn = fam.coll_fn
 
     shared_loss = _make_body_loss(fam, decoder, dec_params, config, focal,
                                   hand_bases, gmm_prior, coll_fn)
@@ -779,7 +811,7 @@ class BatchFitter:
         vertex_ids = fam.vertex_ids
         hand_bases, hand_dim = _setup_hand_bases(model, config)
         gmm_prior = _setup_gmm(config, body_dim)
-        coll_fn = _setup_collision(model, config)
+        coll_fn = fam.coll_fn
         ws = _stage_weights(config)
         focal = config.focal_length
         init_idxs = jnp.asarray(config.init_joints_idxs)
