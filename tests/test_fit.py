@@ -426,6 +426,58 @@ class TestSmplify:
         smplify.fit_frames(other, kps, c, cfg)
         assert len(built) == 2
 
+    def test_batch_fitter_buckets_to_pow2(self):
+        """bucket=True pads calls up to the next power of two (copies of
+        lane 0) so distinct batch sizes share one compiled program, and
+        slices outputs back to N."""
+        model = params_lib.synthetic(n_joints=24, n_verts=60, seed=0)
+        cfg = smplify.FitConfig(model_type="smpl")
+        fitter = smplify.BatchFitter(model, cfg)
+        calls = []
+
+        def fake(*inputs):
+            B = inputs[0].shape[0]
+            calls.append(B)
+            assert all(x.shape[0] == B for x in inputs)
+            return {"pose": jnp.zeros((B, 72)), "shape": jnp.zeros((B, 10)),
+                    "cam_t": jnp.zeros((B, 3)), "emb": jnp.zeros((B, 32)),
+                    "loss": jnp.zeros((B,)),
+                    "expression": jnp.zeros((B, 1))}
+
+        fitter._fitter = fake
+        out = fitter(np.zeros((3, 25, 3), np.float32), np.zeros(2))
+        assert calls == [4]
+        assert out.pose.shape == (3, 72)
+        assert out.loss.shape == (3,)
+        fitter(np.zeros((5, 25, 3), np.float32), np.zeros(2))
+        assert calls == [4, 8]
+        fitter(np.zeros((4, 25, 3), np.float32), np.zeros(2))
+        assert calls == [4, 8, 4]
+        fitter.bucket = False
+        fitter(np.zeros((3, 25, 3), np.float32), np.zeros(2))
+        assert calls[-1] == 3
+
+    @pytest.mark.slow
+    def test_batch_fitter_bucketing_preserves_results(self):
+        """A bucketed N=3 fit returns the same solutions as the exact-size
+        program (padding lanes are vmap-independent)."""
+        model = params_lib.synthetic(n_joints=24, n_verts=200, seed=2)
+        r = np.random.default_rng(0)
+        kps = np.concatenate(
+            [r.uniform(200, 400, (3, 25, 2)), np.ones((3, 25, 1))],
+            axis=2).astype(np.float32)
+        center = np.array([320.0, 240.0])
+        cfg = smplify.FitConfig(
+            model_type="smpl", maxiters=2, focal_length=500.0,
+            use_vposer=False, side_view_thsh=0.0, data_weights=(1.0,),
+            body_pose_prior_weights=(404.0,), shape_weights=(100.0,),
+            hand_pose_prior_weights=(404.0,), hand_joints_weights=(0.0,),
+            coll_loss_weights=(0.0,))
+        out_b = smplify.BatchFitter(model, cfg, bucket=True)(kps, center)
+        out_e = smplify.BatchFitter(model, cfg, bucket=False)(kps, center)
+        np.testing.assert_allclose(out_b.pose, out_e.pose, atol=1e-5)
+        np.testing.assert_allclose(out_b.loss, out_e.loss, rtol=1e-5)
+
     def test_guess_init_depth_scales_with_distance(self):
         j3 = jnp.asarray(np.random.default_rng(5).normal(size=(67, 3)),
                          jnp.float32)

@@ -790,13 +790,22 @@ class BatchFitter:
     is minutes on a TPU host, so per-call closure rebuilds would recompile
     every time.  ``fit_frames`` keeps a small identity-keyed cache of
     these for the convenience-function path.
+
+    ``bucket=True`` (default) pads each call's batch up to the next power
+    of two (with copies of lane 0; outputs are sliced back), so variable
+    batch sizes — e.g. multi-person images flattened into the frame axis —
+    share compiled programs instead of paying the minutes-long XLA compile
+    once per distinct N.  Lanes run in vmap-lockstep anyway, so padding
+    changes no lane's result; set ``bucket=False`` to compile exact sizes.
     """
 
     def __init__(self,
                  model: params_lib.BodyModelParams,
                  config: FitConfig = FitConfig(),
                  dec_params=None,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 bucket: bool = True):
+        self.bucket = bucket
         decoder = vposer_lib.VPoserDecoder()
         if dec_params is None:
             _, dec_params = vposer_lib.create_decoder(rng)
@@ -1010,6 +1019,13 @@ class BatchFitter:
                           np.asarray(anchor_weight, np.float32)).reshape(N))
         inputs = (kps_all, centers, init_t_all, has_init,
                   betas0_all, pose0_all, orient0_all, anchor_all)
+        if self.bucket:
+            B = 1 << max(N - 1, 0).bit_length()
+            if B != N:
+                inputs = tuple(
+                    jnp.concatenate(
+                        [x, jnp.broadcast_to(x[:1], (B - N,) + x.shape[1:])])
+                    for x in inputs)
         if mesh is not None:
             from tpubody.dist import mesh as mesh_lib
             n_dev = len(mesh.devices.ravel())
