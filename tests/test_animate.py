@@ -275,8 +275,11 @@ class TestTiledVideoPath:
         faces = np.concatenate([av.faces, np.asarray(big_faces, np.int64)])
         colors = np.concatenate(
             [av.color, np.tile([[1.0, 0.0, 0.0]], (36, 1))])
+        # ladder_bounds=() forces every over-span face onto the fragment
+        # path — this test pins the fragment-bucket memory bounding.
         plan = video_lib.plan_tiled_render(
-            verts, faces, np.array([0.0, 0.0, 3.0]), size, size, focal)
+            verts, faces, np.array([0.0, 0.0, 3.0]), size, size, focal,
+            ladder_bounds=())
         assert len(plan["large_buckets"]) >= 2      # split, not one call
         assert all(b.shape[0] * w * w <= 4 * video_lib.FRAG_BUDGET
                    for b, w in zip(plan["large_buckets"],
@@ -296,6 +299,57 @@ class TestTiledVideoPath:
         # the red occluders (nearer) won the depth test somewhere
         red = (img[..., 0] > 0.5) & (img[..., 1] < 0.3)
         assert red.sum() > 100
+
+    def test_span_ladder_renders_midsize_faces_tiled(self):
+        """Faces past the base span budget but under the ladder top ride
+        additional tiled Pallas passes (wider spans), NOT the fragment
+        path — and composite to the same image the fragment renderer
+        produces.  (Production reconstructed avatars have ~42k such
+        faces; the fragment path there cost GBs of transients.)"""
+        from tpubody.render import video as video_lib
+        import jax.numpy as jnp
+        rng = np.random.default_rng(3)
+        size, focal = 128, 300.0
+        cam = np.array([0.0, 0.0, 3.0])
+        # Mid-size triangles (~60-150 px projected) + a tiny one so the
+        # small class is non-empty.
+        pts, faces = [], []
+        for i in range(20):
+            c = rng.uniform(-0.6, 0.3, 2)
+            s = rng.uniform(0.45, 1.1)
+            pts += [[c[0], rng.uniform(-0.2, 0.2), c[1]],
+                    [c[0] + s, 0.0, c[1]], [c[0], 0.0, c[1] + s]]
+            faces.append([3 * i, 3 * i + 1, 3 * i + 2])
+        pts += [[0.0, -1.0, 0.0], [0.03, -1.0, 0.0], [0.0, -1.0, 0.03]]
+        faces.append([60, 61, 62])
+        verts = np.asarray(pts)
+        faces = np.asarray(faces, np.int64)
+        colors = np.tile([[0.2, 0.5, 0.9]], (verts.shape[0], 1))
+        plan = video_lib.plan_tiled_render(verts, faces, cam, size, size,
+                                           focal)
+        n_ladder = sum(b.shape[0] for b in plan["ladder_faces"])
+        assert n_ladder >= 15, "mid-size faces must enter the span ladder"
+        assert not plan["large_buckets"], \
+            "no fragment fallback for faces under the ladder top"
+        assert len(plan["ladder_faces"]) == len(plan["ladder_specs"])
+        vj = jnp.asarray(verts[None], jnp.float32)
+        fj = jnp.asarray(faces, jnp.int32)
+        cj = jnp.asarray(colors, jnp.float32)
+        camj = jnp.asarray(cam, jnp.float32)
+        bg = jnp.ones((size, size, 3), jnp.float32)
+        lad = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
+        tiled = np.asarray(video_lib.render_frames_tiled(
+            vj, jnp.asarray(plan["small_faces"]), None, fj, cj, camj, bg,
+            height=size, width=size, focal=focal,
+            max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+            span_y=plan["span_y"], ladder_faces=lad,
+            ladder_specs=plan["ladder_specs"], to_uint8=False))[0]
+        w = video_lib.auto_window(verts, faces, cam, size, size, focal)
+        frag = np.asarray(video_lib.render_frames(
+            vj, fj, cj, camj, bg, height=size, width=size, focal=focal,
+            window=w))[0]
+        agree = np.isclose(tiled, frag, atol=2e-2).mean()
+        assert agree > 0.995, agree
 
     def test_giant_face_beyond_512px_still_renders(self):
         """A face whose projected extent exceeds the old 512 px window cap
@@ -351,11 +405,13 @@ class TestTiledVideoPath:
             av.v_template, av.faces, np.array([0.0, 0.0, 3.0]),
             size, size, focal)
         lb = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
+        lad = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
         tiled = np.asarray(video_lib.render_frames_tiled(
             vj, jnp.asarray(plan["small_faces"]), lb, fj, colors, cam, bg,
             height=size, width=size, focal=focal,
             max_chunks=plan["max_chunks"], span_x=plan["span_x"],
             span_y=plan["span_y"], large_windows=plan["large_windows"],
+            ladder_faces=lad, ladder_specs=plan["ladder_specs"],
             to_uint8=False))[0]
         w = video_lib.auto_window(av.v_template, av.faces,
                                   np.array([0.0, 0.0, 3.0]), size, size,

@@ -435,7 +435,9 @@ class TestSmplify:
         fitter = smplify.BatchFitter(model, cfg)
         calls = []
 
-        def fake(*inputs):
+        def fake(*args):
+            *inputs, cam_it, stage_it = args   # trailing budget operands
+            assert cam_it.ndim == 0 and stage_it.shape == (5,)
             B = inputs[0].shape[0]
             calls.append(B)
             assert all(x.shape[0] == B for x in inputs)
@@ -477,6 +479,36 @@ class TestSmplify:
         out_e = smplify.BatchFitter(model, cfg, bucket=False)(kps, center)
         np.testing.assert_allclose(out_b.pose, out_e.pose, atol=1e-5)
         np.testing.assert_allclose(out_b.loss, out_e.loss, rtol=1e-5)
+
+    @pytest.mark.slow
+    def test_warm_budget_refit_matches_full_budget(self):
+        """A warm-started refit under a truncated budget (the
+        fit_sequence frames>=1 path: stage_maxiters < maxiters,
+        cam_maxiters=0) lands at essentially the full-budget refit's
+        loss, and every budget variant reuses ONE compiled program."""
+        model = params_lib.synthetic(n_joints=24, n_verts=200, seed=2)
+        r = np.random.default_rng(1)
+        kps = np.concatenate(
+            [r.uniform(200, 400, (1, 25, 2)), np.ones((1, 25, 1))],
+            axis=2).astype(np.float32)
+        center = np.array([320.0, 240.0])
+        cfg = smplify.FitConfig(
+            model_type="smpl", maxiters=12, focal_length=500.0,
+            use_vposer=False, side_view_thsh=0.0, data_weights=(1.0,),
+            body_pose_prior_weights=(4.78,), shape_weights=(5.0,),
+            hand_pose_prior_weights=(404.0,), hand_joints_weights=(0.0,),
+            coll_loss_weights=(0.0,))
+        fitter = smplify.BatchFitter(model, cfg, bucket=False)
+        cold = fitter(kps, center)
+        ip = {"global_orient": cold.pose[:, :3], "betas": cold.shape,
+              "body_pose": cold.pose[:, 3:72]}
+        full = fitter(kps, center, init_cam_t=cold.camera_translation,
+                      init_params=ip)
+        warm = fitter(kps, center, init_cam_t=cold.camera_translation,
+                      init_params=ip, cam_maxiters=0, stage_maxiters=3)
+        assert fitter._fitter._cache_size() == 1   # budgets are operands
+        assert float(warm.loss[0]) <= float(full.loss[0]) * 1.05 + 1e-3, \
+            (float(warm.loss[0]), float(full.loss[0]))
 
     def test_guess_init_depth_scales_with_distance(self):
         j3 = jnp.asarray(np.random.default_rng(5).normal(size=(67, 3)),
@@ -677,6 +709,81 @@ class TestOptimizerFactory:
         l0 = float(plain.minimize(fun, x0).loss)
         l1 = float(scaled.minimize(fun, x0).loss)
         assert l1 < 0.1 * l0, (l0, l1)
+
+
+class TestIterationBudgets:
+    """Traced per-call iteration budgets (maxiters_op): warm-started video
+    frames truncate the L-BFGS while_loop through the SAME compiled
+    program (no reference counterpart — it always spends the full
+    fit_smplh.yaml:49 budget)."""
+
+    def test_lbfgs_budget_truncates(self):
+        from tpubody.fit import optim as optim_lib
+
+        target = jnp.asarray([1.0, -2.0, 3.0])
+
+        def fun(x):
+            return jnp.sum(jnp.cosh(x - target))  # non-quadratic: >1 iter
+
+        opt = optim_lib.create_optimizer("lbfgsls", maxiters=40)
+        r1 = opt.minimize(fun, jnp.zeros(3), maxiters_op=jnp.asarray(1))
+        rf = opt.minimize(fun, jnp.zeros(3))
+        assert int(r1.n_iters) == 1
+        assert float(rf.loss) < float(r1.loss)
+        # budget larger than the static cap clamps to the cap
+        rc = opt.minimize(fun, jnp.zeros(3), maxiters_op=jnp.asarray(999))
+        assert int(rc.n_iters) <= 40
+        np.testing.assert_allclose(float(rc.loss), float(rf.loss),
+                                   rtol=1e-6)
+
+    def test_lbfgs_budget_zero_passes_through_init(self):
+        from tpubody.fit import optim as optim_lib
+
+        def fun(x):
+            return jnp.sum((x - 2.0) ** 2)
+
+        opt = optim_lib.create_optimizer("lbfgsls", maxiters=10)
+        x0 = jnp.asarray([5.0, 5.0])
+        r = opt.minimize(fun, x0, maxiters_op=jnp.asarray(0))
+        np.testing.assert_allclose(np.asarray(r.params), np.asarray(x0))
+        np.testing.assert_allclose(float(r.loss), float(fun(x0)))
+
+    def test_first_order_budget_masks_steps(self):
+        """A traced budget on a first-order optimizer matches a shorter
+        static run exactly (steps past the budget are no-ops)."""
+        from tpubody.fit import optim as optim_lib
+
+        def fun(x):
+            return jnp.sum((x - 1.0) ** 2)
+
+        x0 = jnp.zeros(3)
+        long = optim_lib.create_optimizer("sgd", lr=0.1, momentum=0.0,
+                                          maxiters=30)
+        short = optim_lib.create_optimizer("sgd", lr=0.1, momentum=0.0,
+                                           maxiters=7)
+        rb = long.minimize(fun, x0, maxiters_op=jnp.asarray(7))
+        rs = short.minimize(fun, x0)
+        np.testing.assert_allclose(np.asarray(rb.params),
+                                   np.asarray(rs.params), atol=1e-7)
+        np.testing.assert_allclose(float(rb.loss), float(rs.loss),
+                                   rtol=1e-6)
+
+    def test_budget_is_traced_not_static(self):
+        """Different budgets reuse ONE compiled program (the budget is an
+        operand, not a static argument)."""
+        from tpubody.fit import optim as optim_lib
+
+        opt = optim_lib.create_optimizer("lbfgsls", maxiters=20)
+
+        def fun(x):
+            return jnp.sum(jnp.cosh(x))
+
+        calls = jax.jit(lambda x0, m: opt.minimize(fun, x0,
+                                                   maxiters_op=m).loss)
+        l1 = calls(jnp.ones(3), jnp.asarray(1))
+        l2 = calls(jnp.ones(3), jnp.asarray(15))
+        assert calls._cache_size() == 1
+        assert float(l2) < float(l1)
 
 
 class TestSmplifyOptimType:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple
 
+import jax.numpy as jnp
 import optax
 
 from tpubody.fit import lbfgs as lbfgs_lib
@@ -45,11 +46,11 @@ def _with_scales(run, scales):
 
     import jax.numpy as jnp
 
-    def wrapped(fun, x0):
+    def wrapped(fun, x0, **kw):
         s = {k: jnp.asarray(float(scales.get(k, 1.0)), jnp.float32)
              for k in x0}
         y0 = {k: x0[k] / s[k] for k in x0}
-        res = run(lambda y: fun({k: y[k] * s[k] for k in y}), y0)
+        res = run(lambda y: fun({k: y[k] * s[k] for k in y}), y0, **kw)
         return res._replace(
             params={k: res.params[k] * s[k] for k in res.params})
 
@@ -58,21 +59,34 @@ def _with_scales(run, scales):
 
 def _first_order_minimizer(tx: optax.GradientTransformation, maxiters: int):
     import jax
+    import jax.numpy as jnp
 
-    def run(fun, x0):
+    def run(fun, x0, maxiters_op=None):
+        """``maxiters_op``: optional traced iteration budget <= the static
+        ``maxiters`` — steps past the budget become no-ops (the scan length
+        is static, so a first-order budget saves no compute, but the
+        semantics match the L-BFGS path where it does)."""
         opt_state = tx.init(x0)
+        budget = (jnp.asarray(maxiters, jnp.int32) if maxiters_op is None
+                  else jnp.asarray(maxiters_op, jnp.int32))
 
-        def step(carry, _):
-            x, s = carry
+        def step(carry, i):
+            x, s, last = carry
+            live = i < budget
             loss, g = jax.value_and_grad(fun)(x)
-            updates, s = tx.update(g, s, x)
-            return (optax.apply_updates(x, updates), s), loss
+            updates, s2 = tx.update(g, s, x)
+            x2 = optax.apply_updates(x, updates)
+            keep = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
+                lambda u, v: jnp.where(live, u, v), a, b)
+            # budget == 0 still reports fun(x0), like the L-BFGS path.
+            last = jnp.where(live | (i == 0), loss, last)
+            return (keep(x2, x), keep(s2, s), last), None
 
-        (x, _), losses = jax.lax.scan(
-            step, (x0, opt_state), None, length=maxiters)
-        import jax.numpy as jnp
+        (x, _, loss), _ = jax.lax.scan(
+            step, (x0, opt_state, jnp.asarray(jnp.inf, jnp.float32)),
+            jnp.arange(maxiters))
         return lbfgs_lib.MinimizeResult(
-            params=x, loss=losses[-1], n_iters=jnp.asarray(maxiters),
+            params=x, loss=loss, n_iters=budget,
             converged=jnp.asarray(True))
 
     return run
@@ -106,8 +120,13 @@ def create_optimizer(optim_type: str = "lbfgsls",
     elif optim_type in ("lbfgs", "lbfgsls"):
         tx = None
 
-        def run(fun, x0):
-            return lbfgs_lib.minimize(fun, x0, maxiter=maxiters,
+        def run(fun, x0, maxiters_op=None):
+            # maxiters_op: optional TRACED iteration budget (the while_loop
+            # bound takes operands) — warm-started refits pass a smaller
+            # budget through the SAME compiled program, no recompile.
+            m = maxiters if maxiters_op is None else \
+                jnp.minimum(jnp.asarray(maxiters_op, jnp.int32), maxiters)
+            return lbfgs_lib.minimize(fun, x0, maxiter=m,
                                       gtol=gtol, ftol=ftol)
     elif optim_type == "rmsprop":
         tx = optax.rmsprop(lr, decay=rmsprop_alpha, eps=epsilon,

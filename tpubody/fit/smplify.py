@@ -148,6 +148,17 @@ class FitConfig:
     # losses/solutions to within float roundoff; set False to force the
     # full-vertex forward.
     reduce_verts: bool = True
+    # Warm-start iteration budgets for chained video fitting (no reference
+    # counterpart — it fits stills with the full <=30x5x2 budget every
+    # frame, fit_smplh.yaml:49).  Frames >= 1 of fit_sequence start from
+    # the previous frame's solution, so they need a fraction of the
+    # budget: warm_maxiters caps each stage's L-BFGS iterations and
+    # warm_cam_maxiters the camera-stage iterations (the previous frame's
+    # camera/orientation pass through when 0).  Both are TRACED operands
+    # of the one compiled fitter program — no recompile vs the cold
+    # frame.  None disables (full budget every frame).
+    warm_maxiters: Optional[int] = 10
+    warm_cam_maxiters: int = 0
 
 
 class FitOutput(NamedTuple):
@@ -853,7 +864,7 @@ class BatchFitter:
                                       focal, hand_bases, gmm_prior, coll_fn)
 
         def fit_one(kps, center, init_t, has_init_t, betas_init, pose_init,
-                    orient_init, anchor_w):
+                    orient_init, anchor_w, cam_iters, stage_iters):
             gt2d = kps[:, :2]
             conf = kps[:, 2]
 
@@ -883,7 +894,8 @@ class BatchFitter:
 
             cam_res = opt.minimize(
                 camera_loss,
-                {"cam_t": cam0, "global_orient": orient_init})
+                {"cam_t": cam0, "global_orient": orient_init},
+                maxiters_op=cam_iters)
             cam_t0 = cam_res.params["cam_t"]
             orient0 = cam_res.params["global_orient"]
 
@@ -927,11 +939,13 @@ class BatchFitter:
                 for k in frozen:
                     p0.pop(k, None)
 
-                def step(p, w):
-                    res = opt.minimize(functools.partial(body_loss, w=w), p)
+                def step(p, wsi):
+                    w, si = wsi
+                    res = opt.minimize(functools.partial(body_loss, w=w), p,
+                                       maxiters_op=si)
                     return res.params, res.loss
 
-                p, stage_losses = jax.lax.scan(step, p0, ws)
+                p, stage_losses = jax.lax.scan(step, p0, (ws, stage_iters))
                 return p, stage_losses[-1]
 
             p_a, l_a = run(orient0)
@@ -968,15 +982,33 @@ class BatchFitter:
                                     jnp.zeros(max(fam.n_expr, 1))),
             }
 
-        self._fitter = jax.jit(jax.vmap(fit_one))
+        self.n_stages = len(config.body_pose_prior_weights)
+        # Iteration budgets ride as UNBATCHED traced operands (in_axes
+        # None): warm-started calls shrink the while_loop bounds through
+        # the same compiled program.
+        self._fitter = jax.jit(jax.vmap(
+            fit_one, in_axes=(0,) * 8 + (None, None)))
+
+    def _budgets(self, cam_maxiters=None, stage_maxiters=None):
+        cam = jnp.asarray(self.config.maxiters if cam_maxiters is None
+                          else cam_maxiters, jnp.int32)
+        if stage_maxiters is None:
+            stages = jnp.full((self.n_stages,), self.config.maxiters,
+                              jnp.int32)
+        else:
+            stages = jnp.broadcast_to(
+                jnp.asarray(stage_maxiters, jnp.int32), (self.n_stages,))
+        return cam, stages
 
     def apply(self, kps, centers, init_t=None, has_init=None,
-              betas0=None, pose0=None, orient0=None, anchor_w=None):
+              betas0=None, pose0=None, orient0=None, anchor_w=None,
+              cam_maxiters=None, stage_maxiters=None):
         """Raw traced entry: batched device arrays in -> dict of arrays
         out ({"pose","shape","cam_t","emb","loss"}, leading batch dim).
         Usable INSIDE another jitted program (e.g. a serving step);
         ``__call__`` is the host-convenience wrapper."""
         B = kps.shape[0]
+        cam_it, stage_it = self._budgets(cam_maxiters, stage_maxiters)
         return self._fitter(
             kps, centers,
             jnp.zeros((B, 3)) if init_t is None else init_t,
@@ -984,7 +1016,8 @@ class BatchFitter:
             jnp.zeros((B, 10)) if betas0 is None else betas0,
             jnp.zeros((B, self.pose_dim)) if pose0 is None else pose0,
             jnp.zeros((B, 3)) if orient0 is None else orient0,
-            jnp.zeros((B,)) if anchor_w is None else anchor_w)
+            jnp.zeros((B,)) if anchor_w is None else anchor_w,
+            cam_it, stage_it)
 
     def __call__(self,
                  keypoints: np.ndarray,          # (N, 67, 3)
@@ -992,6 +1025,8 @@ class BatchFitter:
                  init_cam_t: Optional[np.ndarray] = None,   # (N, 3)
                  init_params: Optional[dict] = None,        # N-leading
                  anchor_weight: Optional[np.ndarray] = None,  # (N,)
+                 cam_maxiters: Optional[int] = None,
+                 stage_maxiters=None,            # scalar or (n_stages,)
                  mesh=None) -> FitBatchOutput:
         kps_all = jnp.asarray(np.asarray(keypoints, np.float32))
         N = kps_all.shape[0]
@@ -1031,7 +1066,8 @@ class BatchFitter:
             n_dev = len(mesh.devices.ravel())
             inputs = tuple(mesh_lib.pad_frames(x, n_dev) for x in inputs)
             inputs = mesh_lib.shard_frames(inputs, mesh)
-        out = jax.device_get(self._fitter(*inputs))
+        cam_it, stage_it = self._budgets(cam_maxiters, stage_maxiters)
+        out = jax.device_get(self._fitter(*inputs, cam_it, stage_it))
 
         return FitBatchOutput(
             pose=out["pose"][:N],
@@ -1139,6 +1175,8 @@ def fit_sequence(
         ip = None
         ict = None
         aw = None
+        cam_it = None
+        stage_it = None
         if prev is not None:
             ip = {
                 "global_orient": prev.pose[:, :3],
@@ -1150,8 +1188,14 @@ def fit_sequence(
             # Temporal smoothing: anchor this frame's pose/orientation to
             # the previous solution (config.temporal_weight; 0 = off).
             aw = np.full((1,), config.temporal_weight, np.float32)
+            # Warm-started frames run a truncated budget (traced operands
+            # through the SAME compiled program; config.warm_maxiters).
+            if config.warm_maxiters is not None:
+                cam_it = config.warm_cam_maxiters
+                stage_it = config.warm_maxiters
         prev = fitter(kps[t:t + 1], centers[t:t + 1],
-                      init_cam_t=ict, init_params=ip, anchor_weight=aw)
+                      init_cam_t=ict, init_params=ip, anchor_weight=aw,
+                      cam_maxiters=cam_it, stage_maxiters=stage_it)
         outs.append(prev)
     return FitBatchOutput(
         pose=np.concatenate([o.pose for o in outs]),

@@ -111,10 +111,14 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
             focal)
         sf_j = jnp.asarray(plan["small_faces"])
         lb_j = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
-        # Coefficient-table HBM scales with frames x per-tile capacity;
-        # dense reconstructed avatars (high max_chunks) render in smaller
-        # frame chunks to keep the transient table bounded (~1.5 GB).
-        chunk = max(1, min(chunk, 256 // plan["max_chunks"]))
+        lad_j = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
+        # Coefficient-table HBM scales with frames x per-tile capacity
+        # summed over the base pass and the span-ladder rungs; dense
+        # reconstructed avatars (high capacity) render in smaller frame
+        # chunks to keep the transient tables bounded (~1.5 GB).
+        total_nc = plan["max_chunks"] + sum(
+            nc for _, _, nc in plan["ladder_specs"])
+        chunk = max(1, min(chunk, 256 // total_nc))
 
         def render_block(block):
             return np.asarray(video_lib.render_frames_tiled(
@@ -122,7 +126,8 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
                 height=size, width=size, focal=focal,
                 max_chunks=plan["max_chunks"], span_x=plan["span_x"],
                 span_y=plan["span_y"],
-                large_windows=plan["large_windows"]))
+                large_windows=plan["large_windows"],
+                ladder_faces=lad_j, ladder_specs=plan["ladder_specs"]))
     else:
         if window is None:
             window = video_lib.auto_window(
@@ -235,7 +240,10 @@ def orbit_video(
             frames[0], avatar.faces, np.asarray(cam_t), size, size, focal)
         sf_j = jnp.asarray(plan["small_faces"])
         lb_j = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
-        chunk = max(1, min(chunk, 256 // plan["max_chunks"]))
+        lad_j = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
+        total_nc = plan["max_chunks"] + sum(
+            nc for _, _, nc in plan["ladder_specs"])
+        chunk = max(1, min(chunk, 256 // total_nc))
     with writer:
         for s0 in range(0, n_frames, chunk):
             block = varr[s0:s0 + chunk]
@@ -250,7 +258,8 @@ def orbit_video(
                     height=size, width=size, focal=focal,
                     max_chunks=plan["max_chunks"], span_x=plan["span_x"],
                     span_y=plan["span_y"],
-                    large_windows=plan["large_windows"])
+                    large_windows=plan["large_windows"],
+                    ladder_faces=lad_j, ladder_specs=plan["ladder_specs"])
             else:
                 imgs = video_lib.render_frames(
                     block, faces_j, colors_j, cam, bg,

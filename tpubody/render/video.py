@@ -136,7 +136,7 @@ def render_frame_binned(
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
-                     "large_windows", "to_uint8"))
+                     "large_windows", "ladder_specs", "to_uint8"))
 def render_frames_tiled(
     verts_seq: jnp.ndarray,    # (B, V, 3) posed vertices
     small_faces: jnp.ndarray,  # (Fs, 3) faces within the tile-span budget
@@ -152,15 +152,22 @@ def render_frames_tiled(
     span_x: int = 2,
     span_y: int = 5,
     large_windows: Tuple[int, ...] = (),   # static; parallel to buckets
+    ladder_faces=(),           # tuple of (Fi, 3) face arrays (operands)
+    ladder_specs: Tuple[Tuple[int, int, int], ...] = (),  # (sx, sy, nc)
     to_uint8: bool = True,
 ) -> jnp.ndarray:
     """Batch-render frames through the fused tiled Pallas rasterizer.
 
     ~35x faster than the fragment path at 1024^2 (no faces x window^2
-    fragment blow-up, no per-pixel shading gathers).  Oversized faces
-    (projected extent beyond the span budget) render through the fragment
-    path in memory-bounded buckets (``plan_tiled_render`` sizes them) and
-    depth-composite — reconstructed avatars can have tens of thousands.
+    fragment blow-up, no per-pixel shading gathers).  Faces whose projected
+    extent exceeds the base span budget render through additional tiled
+    Pallas passes with wider tile spans (the ladder: ``ladder_faces`` +
+    static ``ladder_specs``, sized by ``plan_tiled_render``) and
+    depth-composite — reconstructed avatars can have tens of thousands of
+    such faces (42k measured on the test03 1024^2 mesh), which previously
+    all fell back to the faces x window^2 fragment path.  Only faces beyond
+    the ladder's top rung (or non-tiling frame sizes) still use the
+    fragment path (``large_buckets``/``large_windows``).
     Returns (B, H, W, 3) uint8 (4x smaller host transfer) unless
     ``to_uint8=False``.
     """
@@ -180,6 +187,17 @@ def render_frames_tiled(
     attr, mask, depth, _ = PR.render_attrs_tiled(
         screen, small_faces, attrs, height, width,
         max_chunks=max_chunks, span_x=span_x, span_y=span_y)
+
+    for lf, (sx2, sy2, nc2) in zip(ladder_faces or (), ladder_specs):
+        if int(lf.shape[0]) == 0:
+            continue
+        attr2, mask2, depth2, _ = PR.render_attrs_tiled(
+            screen, lf, attrs, height, width,
+            max_chunks=nc2, span_x=sx2, span_y=sy2)
+        take = mask2 & (depth2 < depth)
+        depth = jnp.where(take, depth2, depth)
+        attr = jnp.where(take[..., None], attr2, attr)
+        mask = mask | mask2
 
     for bf, bw in zip(large_buckets or (), large_windows):
         if int(bf.shape[0]) == 0:
@@ -208,15 +226,48 @@ def render_frames_tiled(
     return img
 
 
+def _tile_occupancy_peak(tri: np.ndarray, span_x: int, span_y: int,
+                         height: int, width: int) -> int:
+    """Peak per-tile slot count when binning these triangles with the given
+    tile spans (rest-pose estimate for max_chunks sizing)."""
+    from tpubody.render import pallas_raster as PR
+
+    if not tri.shape[0]:
+        return 0
+    TX = width // PR.TILE_W
+    TY = height // PR.TILE_H
+    bmin = tri.min(axis=1)
+    bmax = tri.max(axis=1)
+    tx0 = np.clip(np.floor(bmin[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
+    tx1 = np.clip(np.floor(bmax[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
+    ty0 = np.clip(np.floor(bmin[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
+    ty1 = np.clip(np.floor(bmax[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
+    count = np.zeros(TX * TY, np.int64)
+    for dy in range(span_y):
+        for dx in range(span_x):
+            tid = np.clip(ty0 + dy, 0, TY - 1) * TX + np.clip(tx0 + dx, 0,
+                                                              TX - 1)
+            ok = (ty0 + dy <= ty1) & (tx0 + dx <= tx1)
+            np.add.at(count, tid[ok], 1)
+    return int(count.max()) if count.size else 0
+
+
 def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
                       height: int = DEFAULT_SIZE, width: int = DEFAULT_SIZE,
                       focal: float = DEFAULT_FOCAL, slack: float = 1.4,
-                      max_small_extent: float = 48.0):
-    """Host-side planning for render_frames_tiled: split faces into the
-    tile-span (small) and fragment-window (large) classes from the rest
-    pose's projected extents, size the tile spans, and bound the per-tile
-    face capacity (max_chunks) from a rest-pose bin count.  ``slack``
-    absorbs animation deformation."""
+                      max_small_extent: float = 48.0,
+                      ladder_bounds: Tuple[float, ...] = (96.0, 192.0,
+                                                          384.0)):
+    """Host-side planning for render_frames_tiled: split faces into extent
+    classes from the rest pose's projected extents, size the tile spans per
+    class, and bound each class's per-tile face capacity (max_chunks) from a
+    rest-pose bin count.  ``slack`` absorbs animation deformation.
+
+    Classes: extent <= max_small_extent renders in the base tiled pass;
+    each ``ladder_bounds`` rung gets its own tiled pass with wider spans
+    (production reconstructed avatars have tens of thousands of over-span
+    faces — the fragment path at that count costs GBs of transients); only
+    faces beyond the top rung fall back to the fragment-window path."""
     from tpubody.render import pallas_raster as PR
 
     v = np.asarray(verts, np.float64) @ _PRE_ROT.T
@@ -234,24 +285,8 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
     large = f[ext > small_bound]
     span_x, span_y = PR.max_span_for(small_bound)
 
-    # Rest-pose per-tile occupancy -> chunk capacity.
-    TX = width // PR.TILE_W
-    TY = height // PR.TILE_H
-    stri = tri[ext <= small_bound]
-    bmin = stri.min(axis=1)
-    bmax = stri.max(axis=1)
-    tx0 = np.clip(np.floor(bmin[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
-    tx1 = np.clip(np.floor(bmax[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
-    ty0 = np.clip(np.floor(bmin[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
-    ty1 = np.clip(np.floor(bmax[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
-    count = np.zeros(TX * TY, np.int64)
-    for dy in range(span_y):
-        for dx in range(span_x):
-            tid = np.clip(ty0 + dy, 0, TY - 1) * TX + np.clip(tx0 + dx, 0,
-                                                              TX - 1)
-            ok = (ty0 + dy <= ty1) & (tx0 + dx <= tx1)
-            np.add.at(count, tid[ok], 1)
-    peak = int(count.max()) if count.size else 0
+    peak = _tile_occupancy_peak(tri[ext <= small_bound], span_x, span_y,
+                                height, width)
     max_chunks = int(np.clip(
         np.ceil(peak * slack / PR.CF_FUSED), 1, 64))
 
@@ -260,29 +295,47 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
         lw = float(ext[ext > small_bound].max())
         large_window = int(min(max(np.ceil(lw / 8) * 8 + 8, 32), 512))
 
-    # Fragment-path memory plan for the large class.  A single rasterize
-    # call materializes faces x window^2 fragments; a reconstructed avatar
-    # can have TENS OF THOUSANDS of over-span faces (measured 42k on the
-    # test03 1024^2 reconstruction — one unbucketed call wanted 41 GB).
-    # Bucket by extent into pow2 windows, then split each bucket so no
-    # call exceeds FRAG_BUDGET fragments per frame; calls composite by
-    # depth inside render_frames_tiled.
+    # Span-ladder classes: over-span faces keep riding the tiled Pallas
+    # kernel, each rung with tile spans sized for its extent bound.
+    ladder_faces, ladder_specs = [], []
+    lo = small_bound
+    for bound in ladder_bounds:
+        if bound <= lo:
+            continue
+        sel_mask = (ext > lo) & (ext <= bound)
+        sel = f[sel_mask]
+        if sel.shape[0]:
+            sx, sy = PR.max_span_for(bound)
+            pk = _tile_occupancy_peak(tri[sel_mask], sx, sy, height, width)
+            nc = int(np.clip(np.ceil(pk * slack / PR.CF_FUSED), 1, 64))
+            ladder_faces.append(sel.astype(np.int32))
+            ladder_specs.append((sx, sy, nc))
+        lo = bound
+
+    # Fragment-path memory plan for faces beyond the ladder.  A single
+    # rasterize call materializes faces x window^2 fragments — bucket by
+    # extent into pow2 windows, then split each bucket so no call exceeds
+    # FRAG_BUDGET fragments per frame; calls composite by depth inside
+    # render_frames_tiled.
     large_buckets, large_windows = [], []
     frag_budget = FRAG_BUDGET
-    if large.shape[0]:
+    if (ext > lo).any():
         ext_l = ext[ext > small_bound]
+        huge = large[ext_l > lo]
+        ext_h = ext_l[ext_l > lo]
         full_win = int(max(height, width))
-        lo = small_bound
-        for w in (64, 128, 256, 512, None):
+        for w in (512, None):
             if w is None:
                 # Catch-all: faces beyond 512 px render through a
                 # frame-sized window — the clamped anchor in
                 # raster.rasterize guarantees the visible part is fully
                 # covered no matter how large the projected bbox is.
-                sel = large[ext_l > lo]
+                sel = huge[ext_h > lo]
                 win = full_win
             else:
-                sel = large[(ext_l > lo) & (ext_l <= w)]
+                if w <= lo:
+                    continue
+                sel = huge[(ext_h > lo) & (ext_h <= w)]
                 win = int(min(w + 8, full_win))
                 lo = w
             if not sel.shape[0]:
@@ -296,7 +349,9 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
                 span_x=span_x, span_y=span_y, max_chunks=max_chunks,
                 large_window=large_window,
                 large_buckets=large_buckets,
-                large_windows=tuple(large_windows))
+                large_windows=tuple(large_windows),
+                ladder_faces=ladder_faces,
+                ladder_specs=tuple(ladder_specs))
 
 
 def auto_window(verts: np.ndarray, faces: np.ndarray, cam_t,
