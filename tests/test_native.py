@@ -91,6 +91,34 @@ class TestNativeBacktrack:
 
 
 @requires_native
+class TestNativeGridMesh:
+    def test_matches_numpy_path(self, monkeypatch):
+        """Bit-exact face/vertex parity (order included) with the numpy
+        fallback, both windings, with a hole and the pixel-0 sentinel."""
+        from tpubody.mesh import grid_mesh
+
+        H, W = 37, 45
+        rng = np.random.default_rng(3)
+        mask = np.zeros((H, W), bool)
+        mask[5:30, 8:40] = True
+        mask[12:18, 20:26] = False      # interior hole
+        mask[0, 0] = True               # pixel 0 = background sentinel
+        depth = rng.uniform(1, 5, (H, W)).astype(np.float32)
+        color = rng.uniform(size=(H, W, 3)).astype(np.float32)
+        weights = rng.uniform(size=(H, W, 4)).astype(np.float32)
+        for is_back, rot in ((False, None), (True, 0.3)):
+            fast = grid_mesh.depth_to_mesh(depth, color, weights, mask,
+                                           is_back=is_back, rotate_y=rot)
+            with monkeypatch.context() as mp:
+                mp.setattr(native, "grid_mesh_build", lambda *a: None)
+                slow = grid_mesh.depth_to_mesh(depth, color, weights, mask,
+                                               is_back=is_back, rotate_y=rot)
+            np.testing.assert_array_equal(fast.faces, slow.faces)
+            np.testing.assert_allclose(fast.points, slow.points, atol=1e-5)
+            assert fast.points.dtype == np.float32
+
+
+@requires_native
 def test_native_speedup_trace():
     """Native tracer should beat the Python loop comfortably at 1024^2."""
     import time

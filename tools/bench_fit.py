@@ -1,6 +1,13 @@
 """Production batched-SMPLify throughput benchmark (one chip).
 
-Usage: python tools/bench_fit.py [N] [verts] [--smpl]
+Usage: python tools/bench_fit.py [N] [verts] [--smpl] [--sequence]
+
+``--sequence`` benchmarks video fitting instead: a smooth synthetic
+keypoint trajectory of N frames through chained fit_sequence (each warm
+frame runs the truncated config.warm_maxiters budget through the same
+compiled program) vs the same frames through the stills path (full
+budget), reporting ms/frame and mean final loss for both — the VERDICT
+round-3 "warm-started frames should need a fraction" measurement.
 
 Measures the full 5-stage reference schedule (maxiters=30, both
 orientation candidates, VPoser parameterization with a random decoder —
@@ -43,6 +50,44 @@ def main():
         return k
 
     center = np.array([512.0, 512.0])
+
+    if "--sequence" in sys.argv:
+        # Smooth trajectory: a base skeleton drifting frame to frame.
+        r = np.random.default_rng(3)
+        base = kps_batch(1, 1)[0]
+        drift = np.cumsum(1.5 * r.normal(size=(N, 1, 2)), axis=0)
+        seq = np.repeat(base[None], N, axis=0)
+        seq[..., :2] += drift + 0.8 * r.normal(size=(N, n_kp, 2))
+
+        t0 = time.time()
+        warm_out = smplify.fit_sequence(model, seq, center, cfg,
+                                        chained=True)
+        t_chain_cold = time.time() - t0
+        t0 = time.time()
+        warm_out = smplify.fit_sequence(model, seq, center, cfg,
+                                        chained=True)
+        t_chain = time.time() - t0
+
+        t0 = time.time()
+        stills_out = smplify.fit_frames(model, seq, center, cfg)
+        t_still_cold = time.time() - t0
+        t0 = time.time()
+        stills_out = smplify.fit_frames(model, seq, center, cfg)
+        t_still = time.time() - t0
+        print(json.dumps({
+            "mode": "sequence", "model": "smpl" if smpl else "smplh",
+            "T": N, "verts": verts,
+            "warm_maxiters": cfg.warm_maxiters,
+            "chained_ms_per_frame": round(t_chain / N * 1000, 1),
+            "stills_ms_per_frame": round(t_still / N * 1000, 1),
+            "speedup": round(t_still / t_chain, 2),
+            "chained_mean_loss": round(float(np.mean(warm_out.loss)), 2),
+            "stills_mean_loss": round(float(np.mean(stills_out.loss)), 2),
+            "cold_s": {"chained": round(t_chain_cold, 1),
+                       "stills": round(t_still_cold, 1)},
+        }))
+        return
+
     t0 = time.time()
     smplify.fit_frames(model, kps_batch(N, 1), center, cfg)
     t_cold = time.time() - t0

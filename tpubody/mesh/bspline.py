@@ -173,15 +173,87 @@ def fit_curve_points(points: jnp.ndarray, degree: int, num: int
     return eval_curve(interpolate_curve(points, degree), num)
 
 
+def _basis_matrix_batched_np(u: np.ndarray, knots: np.ndarray, p: int,
+                             n: int) -> np.ndarray:
+    """Cox-de Boor with a leading batch axis: u (B, m), knots (B, n+p+1)
+    -> (B, m, n).  Same recursion as :func:`basis_matrix`."""
+    u = np.clip(u, 0.0, 1.0)
+    nk = n + p
+    lo = knots[:, None, :nk]
+    hi = knots[:, None, 1:nk + 1]
+    uu = u[:, :, None]
+    N = ((uu >= lo) & (uu < hi)).astype(np.float64)
+    last = (hi >= 1.0) & (lo < 1.0)
+    N = np.where((uu >= 1.0) & last, 1.0, N)
+    for d in range(1, p + 1):
+        cnt = nk - d
+        left_den = knots[:, None, d:d + cnt] - knots[:, None, :cnt]
+        right_den = (knots[:, None, d + 1:d + 1 + cnt]
+                     - knots[:, None, 1:1 + cnt])
+        left = np.where(
+            left_den > 1e-12,
+            (uu - knots[:, None, :cnt])
+            / np.where(left_den > 1e-12, left_den, 1.0) * N[..., :cnt], 0.0)
+        right = np.where(
+            right_den > 1e-12,
+            (knots[:, None, d + 1:d + 1 + cnt] - uu)
+            / np.where(right_den > 1e-12, right_den, 1.0)
+            * N[..., 1:1 + cnt], 0.0)
+        N = left + right
+    return N[..., :n]
+
+
+def _fit_curves_batch_np(points: np.ndarray, degree: int,
+                         num: int) -> np.ndarray:
+    """Vectorized numpy batch fit+resample — identical math to the jit
+    path, but with NO XLA compile: the batch size B is a per-image ring
+    length in the stitch stage, so the jitted version paid a fresh
+    multi-second compile per distinct silhouette (measured ~9 s at 1024^2
+    on the CPU host).  Tiny (n x n) collocation systems solve in
+    microseconds here."""
+    pts_in = np.asarray(points)
+    pts = pts_in.astype(np.float64)
+    B, n, _ = pts.shape
+    p = min(degree, n - 1)
+    # batched chord_length_params
+    d = np.linalg.norm(np.diff(pts, axis=1), axis=-1)          # (B, n-1)
+    total = d.sum(axis=1, keepdims=True)
+    d = d + (total + 1e-9) * (1e-4 / max(n - 1, 1))
+    t = np.concatenate([np.zeros((B, 1)), np.cumsum(d, axis=1)], axis=1)
+    t = t / t[:, -1:]
+    # batched averaged_knots
+    if n - p - 1 > 0:
+        windows = np.stack([t[:, j:j + p] for j in range(1, n - p)], axis=1)
+        interior = windows.mean(axis=2)                        # (B, n-p-1)
+    else:
+        interior = np.zeros((B, 0))
+    knots = np.concatenate(
+        [np.zeros((B, p + 1)), interior, np.ones((B, p + 1))], axis=1)
+    A = _basis_matrix_batched_np(t, knots, p, n)               # (B, n, n)
+    control = np.linalg.solve(A, pts)
+    u = np.broadcast_to(np.linspace(0.0, 1.0, num), (B, num))
+    Bm = _basis_matrix_batched_np(u, knots, p, n)              # (B, num, n)
+    return (Bm @ control).astype(pts_in.dtype, copy=False)
+
+
 @functools.partial(jax.jit, static_argnames=("degree", "num"))
+def _fit_curves_batch_jit(points: jnp.ndarray, degree: int, num: int
+                          ) -> jnp.ndarray:
+    return jax.vmap(lambda p: fit_curve_points(p, degree, num))(points)
+
+
 def fit_curves_batch(points: jnp.ndarray, degree: int, num: int
                      ) -> jnp.ndarray:
     """Batched curve fit+resample: (B, n, dim) -> (B, num, dim).
 
-    One compiled program for all curves (the reference loops geomdl objects
-    per curve, utils/B_Spline.py:46).
-    """
-    return jax.vmap(lambda p: fit_curve_points(p, degree, num))(points)
+    One program for all curves (the reference loops geomdl objects per
+    curve, utils/B_Spline.py:46).  Traced inputs run the jit+vmap path;
+    concrete inputs run the vectorized numpy path — B varies per image on
+    the host callers (stitch rings), and a compile per distinct B is a
+    production-scale cost."""
+    if isinstance(points, jax.core.Tracer):
+        return _fit_curves_batch_jit(points, degree, num)
+    return _fit_curves_batch_np(points, degree, num)
 
 
 def interpolate_surface(grid: jnp.ndarray, degree_u: int = 3,

@@ -76,6 +76,16 @@ def depth_to_mesh(
     """
     H, W = depth.shape
     m = np.asarray(mask).astype(bool)
+
+    from tpubody import native
+    built = native.grid_mesh_build(m, depth, color, weights, is_back)
+    if built is not None:
+        points, faces = built
+        if is_back and rotate_y:
+            R = rotation_about_y(rotate_y)
+            points[:, :3] = points[:, :3] @ R.T.astype(np.float32)
+        return AttrMesh(points=points, faces=faces)
+
     idx = np.arange(H * W).reshape(H, W)
     valid_idx = np.where(m, idx, 0)
 
@@ -110,7 +120,11 @@ def depth_to_mesh(
     faces = remap[tris]
 
     ys, xs = np.divmod(vert_ids, W)
-    points = np.empty((vert_ids.shape[0], 6 + weights.shape[2]), np.float64)
+    # float32 attribute block: at 1024^2 the two sheets carry ~1M x 30
+    # attributes, and every downstream pass (stitch concat, rig gather) is
+    # memory-bandwidth-bound — f64 doubles that for no accuracy need at
+    # pixel scale.
+    points = np.empty((vert_ids.shape[0], 6 + weights.shape[2]), np.float32)
     points[:, 0] = xs
     points[:, 1] = ys
     points[:, 2] = depth[ys, xs]

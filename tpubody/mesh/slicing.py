@@ -15,9 +15,14 @@ import numpy as np
 
 def signed_distance(pts: np.ndarray, origin: np.ndarray,
                     normal: np.ndarray) -> np.ndarray:
-    n = np.asarray(normal, np.float64)
+    """Computed in the input dtype: float32 meshes (the 1024^2 stitch
+    output is ~1M verts) stay float32 — converting to f64 per call was a
+    measured hotspot of 3D-joint recovery."""
+    pts = np.asarray(pts)
+    dt = pts.dtype if pts.dtype == np.float32 else np.float64
+    n = np.asarray(normal, dt)
     n = n / max(np.linalg.norm(n), 1e-12)
-    return (np.asarray(pts, np.float64) - np.asarray(origin)) @ n
+    return (pts - np.asarray(origin, dt)) @ n
 
 
 def halfspace_vertex_mask(verts: np.ndarray, origin, normal) -> np.ndarray:
@@ -40,7 +45,9 @@ def section_segments(
     Returns (segments (S, 2, 3), face_ids (S,)): for every face crossing the
     plane, the two edge-intersection points.
     """
-    v = np.asarray(verts, np.float64)
+    v = np.asarray(verts)
+    if v.dtype != np.float32:
+        v = np.asarray(v, np.float64)
     f = np.asarray(faces)
     d_full = signed_distance(v, origin, normal)
     df = d_full[f]                                     # (F, 3)

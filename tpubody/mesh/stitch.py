@@ -100,9 +100,10 @@ def stitch_mesh(
 
     bound_n = ring.shape[0]
     # Fit every 2nd cross-curve, evaluate band_rows samples along each —
-    # one batched TPU program.
+    # one vectorized batched solve (numpy path: the curve count varies per
+    # silhouette, so the jitted path would recompile per image).
     band_half = np.asarray(bspline.fit_curves_batch(
-        jnp.asarray(cross[::2], jnp.float32), 2, band_rows))  # (n/2, rows, 3)
+        cross[::2].astype(np.float32), 2, band_rows))         # (n/2, rows, 3)
     band = np.swapaxes(band_half, 0, 1)                       # (rows, n/2, 3)
 
     # Upsample back to full ring resolution with midpoint smoothing
@@ -119,10 +120,10 @@ def stitch_mesh(
     # Blend attributes (color + weights) front->back down the band.
     attr_f = front.points[inner][:, 3:]
     attr_b = back_points[inner][:, 3:]
-    alpha = (np.arange(rows) / rows)[:, None, None]
+    alpha = (np.arange(rows, dtype=np.float32) / rows)[:, None, None]
     band_attrs = attr_f[None] * (1 - alpha) + attr_b[None] * alpha
     band_points = np.concatenate(
-        [band_core.reshape(rows * cols, 3),
+        [band_core.reshape(rows * cols, 3).astype(np.float32),
          band_attrs.reshape(rows * cols, -1)], axis=1)
 
     n_front = front.points.shape[0]
@@ -188,14 +189,25 @@ def recover_joints(verts: np.ndarray, faces: np.ndarray,
     l_faces = slicing.restrict_faces(body_faces, lm)
     r_faces = slicing.restrict_faces(body_faces, rm)
 
+    def compact(fs):
+        # The arm half-spaces keep a small fraction of the stitched mesh;
+        # sectioning against the compacted vertex set avoids re-scanning
+        # all ~1M vertices per joint (measured hotspot at 1024^2).
+        vid = np.unique(fs)
+        remap = np.zeros(verts.shape[0], np.int64)
+        remap[vid] = np.arange(vid.shape[0])
+        return verts[vid], remap[fs]
+
+    r_verts, r_fc = compact(r_faces)
     r_dir = _unit(J_3d[19] - J_3d[17])
     for index in (21, 23):                 # right elbow/wrist chain
-        c = slicing.section_centroid(verts, r_faces, J_3d[index], r_dir)
+        c = slicing.section_centroid(r_verts, r_fc, J_3d[index], r_dir)
         if c is not None:
             out[index] = c
+    l_verts, l_fc = compact(l_faces)
     l_dir = _unit(J_3d[18] - J_3d[16])
     for index in (18, 20, 22):             # left chain
-        c = slicing.section_centroid(verts, l_faces, J_3d[index], l_dir)
+        c = slicing.section_centroid(l_verts, l_fc, J_3d[index], l_dir)
         if c is not None:
             out[index] = c
     return out

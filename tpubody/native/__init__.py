@@ -51,12 +51,17 @@ def _load() -> Optional[ctypes.CDLL]:
         i64 = ctypes.c_int64
         p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         lib.trace_boundary.restype = i64
         lib.trace_boundary.argtypes = [p_u8, i64, i64, p_i64, i64]
         lib.boundary_ring_walk.restype = i64
         lib.boundary_ring_walk.argtypes = [p_i64, i64, p_i64, i64]
         lib.dp_backtrack.restype = None
         lib.dp_backtrack.argtypes = [p_i64, i64, i64, i64, p_i64]
+        lib.grid_mesh_build.restype = i64
+        lib.grid_mesh_build.argtypes = [
+            p_u8, p_f32, p_f32, p_f32, i64, i64, i64, i64,
+            p_i64, i64, p_f32, i64, ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -94,6 +99,36 @@ def boundary_ring_walk(edges: np.ndarray) -> Optional[np.ndarray]:
     if n < 0:
         return None
     return out[:n].copy()
+
+
+def grid_mesh_build(mask: np.ndarray, depth: np.ndarray, color: np.ndarray,
+                    weights: np.ndarray, is_back: bool
+                    ) -> Optional[tuple]:
+    """Native grid triangulation + attribute gather.
+
+    mask (H, W) truthy, depth (H, W), color (H, W, 3), weights (H, W, K)
+    -> (points (N, 6+K) float32, faces (F, 3) int64), or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray((np.asarray(mask) != 0).astype(np.uint8))
+    H, W = m.shape
+    d = np.ascontiguousarray(np.asarray(depth, np.float32))
+    c = np.ascontiguousarray(np.asarray(color, np.float32))
+    w = np.ascontiguousarray(np.asarray(weights, np.float32))
+    K = w.shape[2]
+    faces_cap = 2 * (H - 1) * (W - 1)
+    faces = np.empty((faces_cap, 3), np.int64)
+    points = np.empty((H * W, 6 + K), np.float32)
+    nv = ctypes.c_int64(0)
+    nf = lib.grid_mesh_build(m, d.reshape(-1), c.reshape(-1), w.reshape(-1),
+                             H, W, K, int(bool(is_back)),
+                             faces.reshape(-1), faces_cap,
+                             points.reshape(-1), H * W, ctypes.byref(nv))
+    if nf < 0:
+        return None
+    return points[:nv.value].copy(), faces[:nf].copy()
 
 
 def dp_backtrack(args: np.ndarray, j_final: int) -> Optional[np.ndarray]:

@@ -113,6 +113,75 @@ int64_t boundary_ring_walk(const int64_t* edges, int64_t E,
 }
 
 // ---------------------------------------------------------------------------
+// Grid-triangulate the valid region of a depth map with attribute gather
+// (tpubody/mesh/grid_mesh.py depth_to_mesh; reference depth2trimesh,
+// lib/Depth2Mesh_Bspline.py:33-108).  One pass, no HW-sized float
+// temporaries — the numpy version's fancy-indexed gathers and face
+// concatenations were the stitch stage's residual hotspot at 1024^2.
+//
+// Semantics identical to the numpy path: a face is kept iff its three
+// corner pixels are valid AND none is flat index 0 (background sentinel);
+// face order is all first-diagonal triangles then all second-diagonal
+// ones; vertices are the used pixels in ascending flat order; the point
+// row layout is [x, y, depth, color[3], weights[K]].
+// Returns the face count, or -1 if a capacity is exceeded.
+// ---------------------------------------------------------------------------
+int64_t grid_mesh_build(const uint8_t* mask, const float* depth,
+                        const float* color, const float* weights,
+                        int64_t H, int64_t W, int64_t K, int64_t is_back,
+                        int64_t* faces_out, int64_t faces_cap,
+                        float* points_out, int64_t points_cap_rows,
+                        int64_t* n_verts_out) {
+  const int64_t HW = H * W;
+  std::vector<int64_t> remap(static_cast<size_t>(HW), -1);
+  auto valid = [&](int64_t i) -> bool { return i > 0 && mask[i]; };
+
+  int64_t nf = 0;
+  // Two sweeps reproduce the numpy concatenation order exactly:
+  // sweep 0 emits the (p00, p10, p01)/(p00, p01, p10) triangles, sweep 1
+  // the (p01, p10, p11)/(p01, p11, p10) ones.
+  for (int t = 0; t < 2; ++t) {
+    for (int64_t r = 0; r + 1 < H; ++r) {
+      for (int64_t c = 0; c + 1 < W; ++c) {
+        const int64_t p00 = r * W + c, p10 = p00 + W;
+        const int64_t p01 = p00 + 1, p11 = p10 + 1;
+        int64_t a, b, d;
+        if (t == 0) {
+          a = p00; b = is_back ? p01 : p10; d = is_back ? p10 : p01;
+        } else {
+          a = p01; b = is_back ? p11 : p10; d = is_back ? p10 : p11;
+        }
+        if (!valid(a) || !valid(b) || !valid(d)) continue;
+        if (nf >= faces_cap) return -1;
+        faces_out[3 * nf] = a;
+        faces_out[3 * nf + 1] = b;
+        faces_out[3 * nf + 2] = d;
+        remap[a] = 0; remap[b] = 0; remap[d] = 0;
+        ++nf;
+      }
+    }
+  }
+
+  const int64_t row_w = 6 + K;
+  int64_t nv = 0;
+  for (int64_t i = 0; i < HW; ++i) {
+    if (remap[i] < 0) continue;
+    if (nv >= points_cap_rows) return -1;
+    remap[i] = nv;
+    float* row = points_out + nv * row_w;
+    row[0] = static_cast<float>(i % W);
+    row[1] = static_cast<float>(i / W);
+    row[2] = depth[i];
+    std::memcpy(row + 3, color + 3 * i, 3 * sizeof(float));
+    std::memcpy(row + 6, weights + K * i, K * sizeof(float));
+    ++nv;
+  }
+  for (int64_t j = 0; j < 3 * nf; ++j) faces_out[j] = remap[faces_out[j]];
+  *n_verts_out = nv;
+  return nf;
+}
+
+// ---------------------------------------------------------------------------
 // Monotone-DP backtrack (tpubody/image/boundary_match.py): given the
 // (m-1, n) argmin table and the final-row argmin j, walk back to produce
 // the (m,) match. args is row-major (m-1, n).

@@ -157,8 +157,8 @@ def reconstruct(
         back_depth = depths["depth_back.npy"]
 
     with timer.stage("stitch"):
-        fc = np.asarray(front_rgb, np.float64)[..., :3]
-        bc = np.asarray(back_rgb, np.float64)[..., :3]
+        fc = np.asarray(front_rgb, np.float32)[..., :3]
+        bc = np.asarray(back_rgb, np.float32)[..., :3]
         res = stitch_lib.stitch_mesh(
             front_depth, fc, back_depth, bc,
             warp_value[..., 6:], J_2d)
