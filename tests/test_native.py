@@ -75,6 +75,40 @@ class TestNativeRing:
 
 
 @requires_native
+class TestNativeBoundaryEdges:
+    def test_matches_numpy_unique_path(self):
+        """Same once-only edge SET as the numpy unique path (order differs:
+        code-sorted vs face order; every caller treats edges as a set)."""
+        from tpubody.mesh import grid_mesh
+        from tests.test_mesh import _disk_depth
+        depth, mask = _disk_depth()
+        m = grid_mesh.depth_to_mesh(depth, np.zeros((48, 48, 3)),
+                                    np.zeros((48, 48, 1)), mask)
+        fast = native.boundary_edges_from_faces(m.faces)
+        assert fast is not None
+
+        f = np.asarray(m.faces, np.int64)
+        e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+        V = f.max() + 1
+        codes = np.minimum(e[:, 0], e[:, 1]) * V + np.maximum(e[:, 0], e[:, 1])
+        _, inv, counts = np.unique(codes, return_inverse=True,
+                                   return_counts=True)
+        slow = e[counts[inv] == 1]
+        canon = lambda arr: {(min(a, b), max(a, b)) for a, b in arr.tolist()}
+        assert canon(fast) == canon(slow)
+        assert fast.shape == slow.shape
+
+    def test_triangle_soup_all_boundary(self):
+        faces = np.array([[0, 1, 2], [3, 4, 5]], np.int64)
+        out = native.boundary_edges_from_faces(faces)
+        assert out.shape == (6, 2)
+
+    def test_empty(self):
+        out = native.boundary_edges_from_faces(np.zeros((0, 3), np.int64))
+        assert out.shape == (0, 2)
+
+
+@requires_native
 class TestNativeBacktrack:
     def test_matches_python(self):
         rng = np.random.default_rng(0)

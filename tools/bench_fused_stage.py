@@ -69,6 +69,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--what", default="both",
                     choices=("both", "fused", "xla", "parity"))
+    ap.add_argument("--blocks", type=int, default=0,
+                    help="fuse only the first N blocks (0 = whole chain); "
+                         "isolates Mosaic compile-time scaling")
     args = ap.parse_args()
     B, K = args.batch, args.k
 
@@ -81,7 +84,12 @@ def main() -> None:
         block_ids, feats, hw, c_in = (0, 1, 2), 64, 56, 64
     else:
         block_ids, feats, hw, c_in = (1, 2, 3), 128, 28, 512
+    if args.blocks:
+        block_ids = block_ids[:args.blocks]
 
+    import time as _t
+    print(f"[{_t.strftime('%H:%M:%S')}] init blocks={block_ids} "
+          f"hw={hw} c_in={c_in}", flush=True)
     mod = Blocks(stage=args.stage, block_ids=block_ids, feats=feats)
     rng = np.random.default_rng(0)
     example = jnp.zeros((1, hw, hw, c_in), jnp.bfloat16)
@@ -105,7 +113,10 @@ def main() -> None:
     results = {}
     if args.what in ("both", "parity"):
         xs = x_in[:2]
+        print(f"[{time.strftime('%H:%M:%S')}] parity: xla fwd...", flush=True)
         y_ref = np.asarray(xla_blocks(xs), np.float32)
+        print(f"[{time.strftime('%H:%M:%S')}] parity: pallas fwd (Mosaic "
+              "compile)...", flush=True)
         y = np.asarray(PR.run_stage(xs, fused), np.float32)
         rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
         results["parity_rel_err"] = float(rel)

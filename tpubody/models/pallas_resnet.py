@@ -169,23 +169,26 @@ def _stage_kernel(x_ref, mask_ref,
     dot = functools.partial(jax.lax.dot_general,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=F32)
-    mask = mask_ref[:]                      # (1, P) bf16 {0, 1}
+    mask = mask_ref[:]                      # (1, P) f32 {0, 1}
 
-    def conv3x3(h, A, b):
+    def conv3x3(h_f32, A, b):
         # pltpu.roll wants non-negative shifts; (-off) % P is the same
-        # circular shift.  Wrap-around only ever lands in ring/pad
-        # columns (|off| <= W+3 < ring width at the array seam), which
-        # the per-block mask re-zeroes.
-        p = h.shape[1]
+        # circular shift.  Rolls run in f32 — this toolchain's Mosaic
+        # rejects sub-32-bit rotates ("Rotate with non-32-bit data") —
+        # and each tap casts to bf16 for the MXU matmul.  Wrap-around
+        # only ever lands in ring/pad columns (|off| <= W+3 < ring width
+        # at the array seam), which the per-block mask re-zeroes.
+        p = h_f32.shape[1]
         cols = jnp.concatenate(
-            [pltpu.roll(h, (-off) % p, 1) for off in offsets], axis=0)
+            [pltpu.roll(h_f32, (-off) % p, 1).astype(BF16)
+             for off in offsets], axis=0)
         return jax.nn.relu(dot(A, cols) + b)
 
-    def block(x, A1, b1, A2, b2, A3, b3, res_f32):
-        h1 = (jax.nn.relu(dot(A1, x) + b1).astype(BF16) * mask)
+    def block(x_bf16, A1, b1, A2, b2, A3, b3, res_f32):
+        h1 = jax.nn.relu(dot(A1, x_bf16) + b1) * mask       # f32
         h2 = conv3x3(h1, A2, b2).astype(BF16)
         y = dot(A3, h2) + b3 + res_f32
-        return (jax.nn.relu(y).astype(BF16) * mask)
+        return jax.nn.relu(y) * mask                        # f32
 
     x = x_ref[0]                            # (C_in, P) bf16
     if has_down:
@@ -194,9 +197,9 @@ def _stage_kernel(x_ref, mask_ref,
         res = x.astype(F32)
     y = block(x, a1_0[:], b1_0[:], a2_0[:], b2_0[:], a3_0[:], b3_0[:], res)
     for j in range(n_rest):
-        y = block(y, a1_r[j], b1_r[j], a2_r[j], b2_r[j], a3_r[j], b3_r[j],
-                  y.astype(F32))
-    out_ref[0] = y
+        y = block(y.astype(BF16), a1_r[j], b1_r[j], a2_r[j], b2_r[j],
+                  a3_r[j], b3_r[j], y)
+    out_ref[0] = y.astype(BF16)
 
 
 @functools.partial(
@@ -259,7 +262,7 @@ def run_stage(x_nhwc: jnp.ndarray, stage: FusedStage,
     r, c = cols // (W + 2), cols % (W + 2)
     interior = ((cols < p_grid) & (r >= 1) & (r <= H) & (c >= 1)
                 & (c <= W))
-    mask = jnp.asarray(interior.astype(np.float32)[None], BF16)
+    mask = jnp.asarray(interior.astype(np.float32)[None], F32)
 
     out = _run_fused(xf, mask, stage, H, W, n_rest, has_down,
                      interpret)

@@ -56,6 +56,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.trace_boundary.argtypes = [p_u8, i64, i64, p_i64, i64]
         lib.boundary_ring_walk.restype = i64
         lib.boundary_ring_walk.argtypes = [p_i64, i64, p_i64, i64]
+        lib.boundary_edges_from_faces.restype = i64
+        lib.boundary_edges_from_faces.argtypes = [p_i64, i64, p_i64, i64]
         lib.dp_backtrack.restype = None
         lib.dp_backtrack.argtypes = [p_i64, i64, i64, i64, p_i64]
         lib.grid_mesh_build.restype = i64
@@ -96,6 +98,26 @@ def boundary_ring_walk(edges: np.ndarray) -> Optional[np.ndarray]:
     cap = e.shape[0] + 2
     out = np.empty(cap, np.int64)
     n = lib.boundary_ring_walk(e.reshape(-1), e.shape[0], out, cap)
+    if n < 0:
+        return None
+    return out[:n].copy()
+
+
+def boundary_edges_from_faces(faces: np.ndarray) -> Optional[np.ndarray]:
+    """Once-only (boundary) edges of a triangle mesh: faces (F, 3) int64
+    -> (B, 2) int64, or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(np.asarray(faces, np.int64))
+    if f.size == 0:
+        return np.zeros((0, 2), np.int64)
+    # A closed grid mesh has few boundary edges, but be safe: every edge
+    # could be once-only (a triangle soup).
+    cap = 3 * f.shape[0]
+    out = np.empty((cap, 2), np.int64)
+    n = lib.boundary_edges_from_faces(f.reshape(-1), f.shape[0],
+                                      out.reshape(-1), cap)
     if n < 0:
         return None
     return out[:n].copy()

@@ -15,6 +15,7 @@
 // Exposed as a plain C ABI for ctypes (no pybind11 in the image).
 // Build: tpubody/native/build.py (g++ -O3 -shared -fPIC).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -74,6 +75,52 @@ int64_t trace_boundary(const uint8_t* mask, int64_t H, int64_t W,
       }
     }
     if (!found) break;  // isolated pixel
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// Once-only (boundary) edges of a triangle mesh (tpubody/mesh/grid_mesh.py
+// boundary_edges; reference get_bound_verts_index scans an O(n^2) edge
+// list, lib/Depth2Mesh_Bspline.py:196-234).  Sort-based: the 3F undirected
+// edge codes (lo * V + hi) are sorted and runs of length 1 emitted — the
+// numpy np.unique(return_inverse+counts) equivalent without its three
+// full-size temporaries (measured 2-4 s at 1024^2 grid meshes; this is
+// ~0.3 s).  Returns the boundary-edge count, or -1 if out_edges is small.
+// ---------------------------------------------------------------------------
+int64_t boundary_edges_from_faces(const int64_t* faces, int64_t F,
+                                  int64_t* out_edges, int64_t max_edges) {
+  if (F == 0) return 0;
+  int64_t V = 0;
+  for (int64_t i = 0; i < 3 * F; ++i) V = faces[i] > V ? faces[i] : V;
+  V += 1;
+  std::vector<uint64_t> codes(static_cast<size_t>(3 * F));
+  for (int64_t f = 0; f < F; ++f) {
+    const int64_t a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+    auto code = [V](int64_t u, int64_t v) {
+      const uint64_t lo = static_cast<uint64_t>(u < v ? u : v);
+      const uint64_t hi = static_cast<uint64_t>(u < v ? v : u);
+      return lo * static_cast<uint64_t>(V) + hi;
+    };
+    codes[3 * f] = code(a, b);
+    codes[3 * f + 1] = code(b, c);
+    codes[3 * f + 2] = code(c, a);
+  }
+  std::sort(codes.begin(), codes.end());
+  int64_t count = 0;
+  const size_t n = codes.size();
+  for (size_t i = 0; i < n;) {
+    size_t j = i + 1;
+    while (j < n && codes[j] == codes[i]) ++j;
+    if (j - i == 1) {
+      if (count >= max_edges) return -1;
+      out_edges[2 * count] = static_cast<int64_t>(
+          codes[i] / static_cast<uint64_t>(V));
+      out_edges[2 * count + 1] = static_cast<int64_t>(
+          codes[i] % static_cast<uint64_t>(V));
+      ++count;
+    }
+    i = j;
   }
   return count;
 }
