@@ -6,6 +6,14 @@ layer1 16.34 ms, layer2 13.14 ms (B=512 bf16, one v5e); the stage-2
 numbers here cover only its stride-1 tail (blocks 1-3 — block 0 is
 stride-2 and stays on the XLA path).
 
+Measured verdict (2026-08-19, one v5e, packed-bf16 rolls, compile cache
+on): stage 1 fused 15.3 ms vs 16.33 XLA (+6%); stage 2 fused 16.26 ms vs
+8.33 XLA (2x SLOWER).  The kernel meets its HBM goal (one read + one
+write) but the im2col rolls make it VPU-bound, and XLA's conv emitter
+already overlaps HBM traffic with MXU work — see docs/STATUS.md round-3
+ceiling analysis.  The fused path stays an experiment (not wired into
+models/hmr.py).
+
 Usage: python tools/bench_fused_stage.py [--stage 1] [--batch 512] [--k 8]
 """
 from __future__ import annotations

@@ -169,26 +169,36 @@ def _stage_kernel(x_ref, mask_ref,
     dot = functools.partial(jax.lax.dot_general,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=F32)
-    mask = mask_ref[:]                      # (1, P) f32 {0, 1}
+    mask = mask_ref[:]                      # (1, P) bf16 {0, 1}
 
-    def conv3x3(h_f32, A, b):
+    def conv3x3(h_bf16, A, b):
         # pltpu.roll wants non-negative shifts; (-off) % P is the same
-        # circular shift.  Rolls run in f32 — this toolchain's Mosaic
-        # rejects sub-32-bit rotates ("Rotate with non-32-bit data") —
-        # and each tap casts to bf16 for the MXU matmul.  Wrap-around
-        # only ever lands in ring/pad columns (|off| <= W+3 < ring width
-        # at the array seam), which the per-block mask re-zeroes.
-        p = h_f32.shape[1]
+        # circular shift.  This toolchain's Mosaic rejects sub-32-bit
+        # rotates ("Rotate with non-32-bit data"), so the (C, P) bf16
+        # block rolls as its PACKED (C/2, P) i32 view — a lane roll moves
+        # every row by the same shift, so the channel pairing is
+        # preserved exactly (pinned on chip: bitcast-roll == jnp.roll).
+        # Halves the roll traffic vs f32 rolls and feeds the MXU concat
+        # without a per-tap cast.  Wrap-around only ever lands in
+        # ring/pad columns (|off| <= W+3 < ring width at the array
+        # seam), which the h1 mask has already zeroed.
+        p = h_bf16.shape[1]
+        hi = pltpu.bitcast(h_bf16, jnp.int32)
         cols = jnp.concatenate(
-            [pltpu.roll(h_f32, (-off) % p, 1).astype(BF16)
+            [pltpu.bitcast(pltpu.roll(hi, (-off) % p, 1), BF16)
              for off in offsets], axis=0)
         return jax.nn.relu(dot(A, cols) + b)
 
     def block(x_bf16, A1, b1, A2, b2, A3, b3, res_f32):
-        h1 = jax.nn.relu(dot(A1, x_bf16) + b1) * mask       # f32
+        # Only h1 needs masking: it is the sole input the rolls mix
+        # across columns.  The 1x1 convs (A1, A3) and the residual add
+        # are columnwise, so ring/pad garbage in y never reaches an
+        # interior column of any later block; the host slices the
+        # interior off the final output.
+        h1 = (jax.nn.relu(dot(A1, x_bf16) + b1).astype(BF16) * mask)
         h2 = conv3x3(h1, A2, b2).astype(BF16)
         y = dot(A3, h2) + b3 + res_f32
-        return jax.nn.relu(y) * mask                        # f32
+        return jax.nn.relu(y).astype(BF16)
 
     x = x_ref[0]                            # (C_in, P) bf16
     if has_down:
@@ -197,9 +207,9 @@ def _stage_kernel(x_ref, mask_ref,
         res = x.astype(F32)
     y = block(x, a1_0[:], b1_0[:], a2_0[:], b2_0[:], a3_0[:], b3_0[:], res)
     for j in range(n_rest):
-        y = block(y.astype(BF16), a1_r[j], b1_r[j], a2_r[j], b2_r[j],
-                  a3_r[j], b3_r[j], y)
-    out_ref[0] = y.astype(BF16)
+        y = block(y, a1_r[j], b1_r[j], a2_r[j], b2_r[j],
+                  a3_r[j], b3_r[j], y.astype(F32))
+    out_ref[0] = y
 
 
 @functools.partial(
@@ -248,6 +258,8 @@ def run_stage(x_nhwc: jnp.ndarray, stage: FusedStage,
     B, H, W, C_in = map(int, x_nhwc.shape)
     n_rest = stage.n_rest
     has_down = stage.Ad is not None
+    if int(stage.A1_0.shape[0]) % 2:
+        raise ValueError("C_mid must be even (packed bf16 rolls)")
 
     p_grid = (H + 2) * (W + 2)
     P = -(-p_grid // 128) * 128
@@ -262,7 +274,7 @@ def run_stage(x_nhwc: jnp.ndarray, stage: FusedStage,
     r, c = cols // (W + 2), cols % (W + 2)
     interior = ((cols < p_grid) & (r >= 1) & (r <= H) & (c >= 1)
                 & (c <= W))
-    mask = jnp.asarray(interior.astype(np.float32)[None], F32)
+    mask = jnp.asarray(interior.astype(np.float32)[None], BF16)
 
     out = _run_fused(xf, mask, stage, H, W, n_rest, has_down,
                      interpret)
