@@ -33,6 +33,7 @@ class BodyState(NamedTuple):
     v_posed: jnp.ndarray       # (..., V, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("pose_is_rotmat",))
 def forward(
     model: BodyModelParams,
     pose: jnp.ndarray,
@@ -40,7 +41,13 @@ def forward(
     trans: Optional[jnp.ndarray] = None,
     pose_is_rotmat: bool = False,
 ) -> BodyState:
-    """One LBS forward pass.  pose (J,3) axis-angle (or (J,3,3) rotmats)."""
+    """One LBS forward pass.  pose (J,3) axis-angle (or (J,3,3) rotmats).
+
+    Jitted: single-frame forwards reach the chip as ONE program.  Unjitted,
+    the ~200-op eager graph pays a remote compile per op through the axon
+    tunnel — a single humanoid forward measured >3 min on chip (vs ~2 s
+    jitted), which stalled every pipeline stage built on it.  Inside an
+    outer jit the wrapper inlines; callers see no behavior change."""
     out = lbs_lib.lbs(
         model.v_template,
         model.shapedirs,
