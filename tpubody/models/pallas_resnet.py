@@ -30,7 +30,11 @@ ResNet, models/hmr.py:49-111):
     rounds to bf16 between matmuls, like the XLA bf16 path.
   * Grid = (B,): one image per step; weights ride as whole-array blocks.
 
-Used by models/hmr.py's fused-inference path; parity with the Flax
+NOT wired into models/hmr.py: measured at production shapes
+(tools/bench_fused_stage.py, docs/STATUS.md round-3 table) the fused
+kernel wins only on layer1 (+6%) and loses 2x on layer2 — the im2col
+rolls are VPU work that replaces HBM time XLA already overlaps with MXU
+compute.  Kept in-tree as a measured experiment; parity with the Flax
 Bottleneck stage is pinned in tests/test_pallas_resnet.py.
 """
 from __future__ import annotations
