@@ -19,14 +19,21 @@ and the nearest-neighbor edge fill of the reference in one vectorized op.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpubody.image import boundary_match, contours, morphology, mvc
+
+
+def _sub(timer, name: str):
+    """Substage context: times + device-syncs when a timer is passed,
+    free (nullcontext, no block_until_ready) otherwise."""
+    return timer.stage(name) if timer is not None else contextlib.nullcontext()
 
 
 class WarpResult(NamedTuple):
@@ -65,10 +72,9 @@ def scatter_warp(value: jnp.ndarray, src_pts: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
-def fill_holes(value: jnp.ndarray, mask: jnp.ndarray,
-               max_iters: int = 512) -> jnp.ndarray:
-    """Fixed-point diffusion fill: unfilled mask pixels take the mean of
-    filled 3x3 neighbors; iterate until saturated."""
+def _fill_holes_full(value: jnp.ndarray, mask: jnp.ndarray,
+                     max_iters: int = 512):
+    """fill_holes returning (img, iterations) — see fill_holes."""
     m = mask.astype(jnp.bool_)
     filled0 = (jnp.sum(jnp.abs(value), axis=-1) > 0) & m
 
@@ -86,8 +92,15 @@ def fill_holes(value: jnp.ndarray, mask: jnp.ndarray,
         img = jnp.where(can_fill[..., None], newvals, img)
         return img, filled | can_fill, it + 1
 
-    img, _, _ = jax.lax.while_loop(cond, body, (value, filled0, 0))
-    return img
+    img, _, it = jax.lax.while_loop(cond, body, (value, filled0, 0))
+    return img, it
+
+
+def fill_holes(value: jnp.ndarray, mask: jnp.ndarray,
+               max_iters: int = 512) -> jnp.ndarray:
+    """Fixed-point diffusion fill: unfilled mask pixels take the mean of
+    filled 3x3 neighbors; iterate until saturated."""
+    return _fill_holes_full(value, mask, max_iters)[0]
 
 
 @jax.jit
@@ -112,9 +125,10 @@ def smooth_weight_channels(value: jnp.ndarray) -> jnp.ndarray:
 
 def warp_stage(
     rgb_mask: np.ndarray,
-    smplh_value: np.ndarray,
+    smplh_value,
     k: int = 64,
     smooth_weights: bool = True,
+    timer=None,
 ) -> WarpResult:
     """Full warp stage (reference Wrap.__call__, lib/Warp.py:28-46).
 
@@ -122,41 +136,66 @@ def warp_stage(
       rgb_mask: (H, W) photo silhouette (nonzero = person).
       smplh_value: (H, W, C>=6) rendered SMPL value map (front/back normals
         + skinning weights), background = 1.0 in the normal channels.
+        Accepts a device array — the value block then never crosses the
+        host boundary (it is ~126 MB at 1024^2x30).
+      timer: optional StageTimer for substage attribution (adds
+        block_until_ready syncs; leave None in production).
     """
-    value = jnp.asarray(smplh_value, jnp.float32)
-    smpl_mask = np.asarray(silhouette_from_value(value))
+    with _sub(timer, "warp/to_device"):
+        value = jnp.asarray(smplh_value, jnp.float32)
+        if timer is not None:
+            value.block_until_ready()
+    with _sub(timer, "warp/silhouette"):
+        smpl_mask = np.asarray(silhouette_from_value(value))
 
     # Host: ordered boundary polygons (data-dependent lengths).
-    rgb_contour = contours.trace_boundary(rgb_mask)
-    rgb_bound = contours.simplify(rgb_contour)
-    smpl_bound = contours.trace_boundary(smpl_mask)
-    if rgb_bound.shape[0] < 4 or smpl_bound.shape[0] < 4:
-        raise ValueError(
-            "warp_stage: degenerate silhouette (photo mask "
-            f"{rgb_bound.shape[0]} pts, rendered mask "
-            f"{smpl_bound.shape[0]} pts) — check the mask and value map")
+    with _sub(timer, "warp/contours"):
+        rgb_contour = contours.trace_boundary(rgb_mask)
+        rgb_bound = contours.simplify(rgb_contour)
+        smpl_bound = contours.trace_boundary(smpl_mask)
+        if rgb_bound.shape[0] < 4 or smpl_bound.shape[0] < 4:
+            raise ValueError(
+                "warp_stage: degenerate silhouette (photo mask "
+                f"{rgb_bound.shape[0]} pts, rendered mask "
+                f"{smpl_bound.shape[0]} pts) — check the mask and value map")
 
     # Device: monotone DP match.
-    match = boundary_match.match_boundaries(smpl_bound, rgb_bound, k=k)
-    smpl_bound_matched = smpl_bound[match]
+    with _sub(timer, "warp/match"):
+        match = boundary_match.match_boundaries(smpl_bound, rgb_bound, k=k)
+        smpl_bound_matched = smpl_bound[match]
 
     # Device: MVC transport of all interior pixels.
-    inner = contours.inner_points(smpl_mask)
-    warp_fn = (mvc.warp_points_chunked if inner.shape[0] > 65536
-               else mvc.warp_points)
-    warped = warp_fn(
-        jnp.asarray(inner, jnp.float32),
-        jnp.asarray(smpl_bound_matched, jnp.float32),
-        jnp.asarray(rgb_bound, jnp.float32))
+    with _sub(timer, "warp/inner_points"):
+        inner = contours.inner_points(smpl_mask)
+    with _sub(timer, "warp/mvc"):
+        warp_fn = (mvc.warp_points_chunked if inner.shape[0] > 65536
+                   else mvc.warp_points)
+        warped = warp_fn(
+            jnp.asarray(inner, jnp.float32),
+            jnp.asarray(smpl_bound_matched, jnp.float32),
+            jnp.asarray(rgb_bound, jnp.float32))
+        if timer is not None:
+            warped.block_until_ready()
 
-    raw = scatter_warp(value, jnp.asarray(inner), warped)
+    with _sub(timer, "warp/scatter"):
+        raw = scatter_warp(value, jnp.asarray(inner), warped)
+        if timer is not None:
+            raw.block_until_ready()
 
     mask = jnp.asarray(np.asarray(rgb_mask) != 0)
-    filled = fill_holes(raw, mask)
-    filled = smooth_filled(filled, mask)
-    if smooth_weights and value.shape[-1] > 6:
-        filled = smooth_weight_channels(filled)
-    filled = jnp.where(mask[..., None], filled, 0.0)
+    with _sub(timer, "warp/fill_holes"):
+        filled, fill_iters = _fill_holes_full(raw, mask)
+        if timer is not None:
+            filled.block_until_ready()
+            timer.records.append(
+                {"stage": "warp/fill_holes_iters", "seconds": int(fill_iters)})
+    with _sub(timer, "warp/smooth"):
+        filled = smooth_filled(filled, mask)
+        if smooth_weights and value.shape[-1] > 6:
+            filled = smooth_weight_channels(filled)
+        filled = jnp.where(mask[..., None], filled, 0.0)
+        if timer is not None:
+            filled.block_until_ready()
     return WarpResult(
         value=filled, warped_raw=raw, match=match,
         rgb_bound=rgb_bound, smpl_bound=smpl_bound)

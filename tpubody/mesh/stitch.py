@@ -18,6 +18,7 @@ Capability parity with the reference stitch stage
 """
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
@@ -25,6 +26,10 @@ import numpy as np
 
 from tpubody.image import morphology
 from tpubody.mesh import bspline, grid_mesh, slicing, smoothing
+
+
+def _sub(timer, name: str):
+    return timer.stage(name) if timer is not None else contextlib.nullcontext()
 
 
 class StitchResult(NamedTuple):
@@ -53,20 +58,25 @@ def stitch_mesh(
     weights: np.ndarray,       # (H, W, K) skinning-weight map
     J_2d: np.ndarray,          # (24, 2) int pixel joints (x, y)
     band_rows: int = 11,
+    timer=None,
 ) -> StitchResult:
     """Stitch the two depth meshes into one closed attribute mesh."""
-    mask = _close_mask(front_depth)
+    with _sub(timer, "stitch/close_mask"):
+        mask = _close_mask(front_depth)
     J_2d = np.asarray(J_2d).astype(int)
 
-    angle = grid_mesh.back_rotation_angle(front_depth, back_depth, J_2d)
-    front = grid_mesh.depth_to_mesh(front_depth, front_color, weights, mask,
-                                    is_back=False)
-    back = grid_mesh.depth_to_mesh(back_depth, back_color, weights, mask,
-                                   is_back=True, rotate_y=angle)
+    with _sub(timer, "stitch/depth_to_mesh"):
+        angle = grid_mesh.back_rotation_angle(front_depth, back_depth, J_2d)
+        front = grid_mesh.depth_to_mesh(front_depth, front_color, weights,
+                                        mask, is_back=False)
+        back = grid_mesh.depth_to_mesh(back_depth, back_color, weights, mask,
+                                       is_back=True, rotate_y=angle)
 
     # Boundary rings (front and back grids share topology -> same indices).
-    ring = grid_mesh.boundary_ring(front.faces)
-    inner = grid_mesh.inner_ring(front.faces, ring, front.points.shape[0])
+    with _sub(timer, "stitch/rings"):
+        ring = grid_mesh.boundary_ring(front.faces)
+        inner = grid_mesh.inner_ring(front.faces, ring,
+                                     front.points.shape[0])
 
     front_out = front.points[ring]
     front_in = front.points[inner]
@@ -102,8 +112,9 @@ def stitch_mesh(
     # Fit every 2nd cross-curve, evaluate band_rows samples along each —
     # one vectorized batched solve (numpy path: the curve count varies per
     # silhouette, so the jitted path would recompile per image).
-    band_half = np.asarray(bspline.fit_curves_batch(
-        cross[::2].astype(np.float32), 2, band_rows))         # (n/2, rows, 3)
+    with _sub(timer, "stitch/bspline_band"):
+        band_half = np.asarray(bspline.fit_curves_batch(
+            cross[::2].astype(np.float32), 2, band_rows))     # (n/2, rows, 3)
     band = np.swapaxes(band_half, 0, 1)                       # (rows, n/2, 3)
 
     # Upsample back to full ring resolution with midpoint smoothing
@@ -148,12 +159,14 @@ def stitch_mesh(
         np.stack([p01, p11, p10], axis=1),
     ], axis=0)
 
-    full_points = np.concatenate(
-        [front.points, back_points, band_points], axis=0)
-    full_faces = np.concatenate(
-        [front.faces, back.faces + n_front, stitch_faces], axis=0)
+    with _sub(timer, "stitch/assemble"):
+        full_points = np.concatenate(
+            [front.points, back_points, band_points], axis=0)
+        full_faces = np.concatenate(
+            [front.faces, back.faces + n_front, stitch_faces], axis=0)
 
-    joints = recover_joints(full_points[:, :3], full_faces, J_3d)
+    with _sub(timer, "stitch/recover_joints"):
+        joints = recover_joints(full_points[:, :3], full_faces, J_3d)
     return StitchResult(points=full_points, faces=full_faces, joints3d=joints)
 
 

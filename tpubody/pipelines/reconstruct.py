@@ -91,6 +91,9 @@ def reconstruct(
 ) -> ReconstructResult:
     """Run the full reconstruction (main.py:28-141 parity)."""
     timer = timer or StageTimer()
+    # TPUBODY_DETAIL=1: substage attribution (adds device syncs + transfer
+    # timing; measurement mode only).
+    detail = timer if os.environ.get("TPUBODY_DETAIL") else None
     H, W = np.asarray(mask).shape
     sc = StageCache(out_dir, enabled=cache and out_dir is not None) \
         if out_dir else StageCache("/tmp/tpubody_cache", enabled=False)
@@ -126,22 +129,37 @@ def reconstruct(
     with timer.stage("render_value_maps"):
         h_val = digest(verts, smpl_model.weights, fit.camera_translation,
                        fit.camera_center, H=H, W=W)
-        maps = sc.run(
-            "render", h_val, ["smplh_value.npy"],
-            lambda: {"smplh_value.npy": np.asarray(
-                bodymaps.render_body_maps(
+
+        def _render():
+            import contextlib
+            with (detail.stage("render/device") if detail
+                  else contextlib.nullcontext()):
+                v = bodymaps.render_body_maps(
                     verts, smplh_model.faces,
                     np.asarray(smpl_model.weights),
                     fit.camera_translation, fit.camera_center,
-                    H, W, focal=fit.camera_fx).value)})
+                    H, W, focal=fit.camera_fx).value
+                if detail:
+                    v.block_until_ready()
+            with (detail.stage("render/to_host") if detail
+                  else contextlib.nullcontext()):
+                return {"smplh_value.npy": np.asarray(v)}
+
+        maps = sc.run("render", h_val, ["smplh_value.npy"], _render)
         smplh_value = maps["smplh_value.npy"]
 
     with timer.stage("warp"):
         h_warp = digest(smplh_value, mask)
-        warped = sc.run(
-            "warp", h_warp, ["warp_and_filled.npy"],
-            lambda: {"warp_and_filled.npy": np.asarray(
-                warp_lib.warp_stage(np.asarray(mask), smplh_value).value)})
+
+        def _warp():
+            import contextlib
+            v = warp_lib.warp_stage(np.asarray(mask), smplh_value,
+                                    timer=detail).value
+            with (detail.stage("warp/to_host") if detail
+                  else contextlib.nullcontext()):
+                return {"warp_and_filled.npy": np.asarray(v)}
+
+        warped = sc.run("warp", h_warp, ["warp_and_filled.npy"], _warp)
         warp_value = warped["warp_and_filled.npy"]
 
     with timer.stage("normal2depth"):
@@ -161,7 +179,7 @@ def reconstruct(
         bc = np.asarray(back_rgb, np.float32)[..., :3]
         res = stitch_lib.stitch_mesh(
             front_depth, fc, back_depth, bc,
-            warp_value[..., 6:], J_2d)
+            warp_value[..., 6:], J_2d, timer=detail)
         if out_dir:
             np.save(sc.path("points"), res.points)
             np.save(sc.path("faces"), res.faces)
