@@ -24,6 +24,27 @@ import pytest  # noqa: E402
 _TESTS_SINCE_CLEAR = {"n": 0}
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Print the suite-duration budget check so test-time creep is visible
+    in-repo (the fast set must stay under 5:00 on this 1-core host —
+    VERDICT r3 #5: it crept 4:31 -> 7:15 over two rounds unnoticed)."""
+    import time
+
+    start = getattr(terminalreporter, "_session_start", None)
+    if start is None:
+        return
+    # pytest 8: Instant with .elapsed(); older: float epoch seconds.
+    dur = (start.elapsed().seconds if hasattr(start, "elapsed")
+           else time.time() - start)
+    is_fast = "not slow" in (getattr(config.option, "markexpr", "") or "")
+    budget = 300.0
+    line = f"suite wall time {dur/60:.0f}:{dur%60:04.1f}"
+    if is_fast:
+        line += (f" — fast-set budget 5:00 "
+                 f"{'OK' if dur <= budget else 'EXCEEDED'}")
+    terminalreporter.write_sep("-", line)
+
+
 @pytest.fixture(autouse=True)
 def _periodic_jax_cache_clear(request):
     """Clear jax's compiled-executable caches every N tests.

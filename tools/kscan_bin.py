@@ -1,13 +1,15 @@
 """K-scan decomposition of the fused-raster BINNING phase.
 
-kscan_render.py measured binning at ~184 ms/frame on the 471k-face
-production avatar — dominant over the Pallas kernel itself (~66 ms).
-This splits _bin_fused into its sub-phases, each as a lax.scan of K
-iterations in one compiled program:
+Round-4 history: the DENSE binning measured 174 ms/frame on the 471k-face
+production avatar (keys 6 / sort 6 / fidx 22 / rows 8.5 / asm ~140 — the
+(T, cap) row gather + table assembly at 82% padding waste dominated),
+which motivated the CSR chunk-list rewrite.  This decomposes the CSR
+_bin_fused into its sub-phases, each as a lax.scan of K iterations in one
+compiled program:
 
   keys    — bbox -> tile-slot key enumeration (F*M keys)
   sort    — lax.sort_key_val over the F*M slot keys
-  fidx    — searchsorted segments + dense (T, cap) face-index table
+  chunks  — segment counts + chunk list (ct / fcount / fidx)
   rows    — per-face coefficient rows (_fused_rows)
   asm     — rows[fidx] gather + per-slot constants + table assembly
             (everything downstream of fidx in _bin_fused)
@@ -73,7 +75,7 @@ def main() -> None:
     cam_t = (0.0, 0.0, 2.5)
     plan = V.plan_tiled_render(verts, faces, cam_t, H, W)
     fj = jnp.asarray(plan["small_faces"])
-    NC, sx, sy = plan["max_chunks"], plan["span_x"], plan["span_y"]
+    MAXC, sx, sy = plan["total_chunks"], plan["span_x"], plan["span_y"]
 
     # Screen verts + attrs (colors+normals, like the video path).
     pre_rot = jnp.asarray(V._PRE_ROT.T, jnp.float32)
@@ -85,8 +87,8 @@ def main() -> None:
         vv = v @ pre_rot
         vv = (vv + jnp.asarray(cam_t, jnp.float32)) @ flip
         z = jnp.maximum(-vv[..., 2:3], 1e-6)
-        x = vv[..., 0:1] / z * 5000.0 + W / 2.0
-        y = -vv[..., 1:2] / z * 5000.0 + H / 2.0
+        x = vv[..., 0:1] / z * V.DEFAULT_FOCAL + W / 2.0
+        y = -vv[..., 1:2] / z * V.DEFAULT_FOCAL + H / 2.0
         screen = jnp.concatenate([x, y, z], axis=-1)
         normals = raster_lib.vertex_normals(vv, jnp.asarray(faces))
         return screen, normals
@@ -99,8 +101,8 @@ def main() -> None:
     TX, TY = W // TILE_W, H // TILE_H
     T = TX * TY
     M = sx * sy
-    cap = NC * PR.CF_FUSED
-    out = {"F": F, "M": M, "NC": NC, "C": C}
+    CF = PR.CF_FUSED
+    out = {"F": F, "M": M, "MAXC": MAXC, "C": C}
 
     def keys_of(s):
         xy = s[:, :2]
@@ -143,30 +145,40 @@ def main() -> None:
 
     keys_s, fids_s = jax.jit(jax.lax.sort_key_val)(keys, fids)
 
-    def fidx_of(ks, fs):
+    def chunks_of(ks, fs):
         seg = jnp.searchsorted(ks, jnp.arange(T + 1, dtype=jnp.int32))
         counts = seg[1:] - seg[:-1]
-        counts_c = jnp.minimum(counts, cap)
-        nchunks = (counts_c + PR.CF_FUSED - 1) // PR.CF_FUSED
-        j = jnp.arange(cap, dtype=jnp.int32)
-        slot = jnp.clip(seg[:-1, None] + j[None], 0, F * M - 1)
-        fidx = jnp.where(j[None] < counts_c[:, None], fs[slot], F)
-        return fidx, nchunks
+        nch = jnp.maximum((counts + CF - 1) // CF, 1)
+        cum = jnp.cumsum(nch)
+        nvalid = cum[-1].astype(jnp.int32)
+        starts = cum - nch
+        cidx = jnp.arange(MAXC, dtype=jnp.int32)
+        ct = jnp.minimum(
+            jnp.searchsorted(cum, cidx, side="right").astype(jnp.int32),
+            T - 1)
+        k = cidx - starts[ct]
+        fcount = jnp.where(cidx < nvalid,
+                           jnp.clip(counts[ct] - k * CF, 0, CF), 0)
+        slot0 = jnp.clip(seg[ct] + k * CF, 0, F * M - 1)
+        j = jnp.arange(CF, dtype=jnp.int32)
+        slot = jnp.clip(slot0[:, None] + j[None], 0, F * M - 1)
+        fidx = jnp.where(j[None] < fcount[:, None], fs[slot], F)
+        return fidx, ct, nvalid
 
-    dt = timed(fidx_of, keys_s, fids_s, K=args.K)
-    out["fidx_ms"] = round(dt * 1e3, 1)
-    print("fidx", out["fidx_ms"], "ms", file=sys.stderr, flush=True)
+    dt = timed(chunks_of, keys_s, fids_s, K=args.K)
+    out["chunks_ms"] = round(dt * 1e3, 1)
+    print("chunks", out["chunks_ms"], "ms", file=sys.stderr, flush=True)
 
     dt = timed(lambda s, a: PR._fused_rows(s, fj, a, H, W)[0],
                screen, attrs, K=args.K)
     out["rows_ms"] = round(dt * 1e3, 1)
     print("rows", out["rows_ms"], "ms", file=sys.stderr, flush=True)
 
-    dt = timed(lambda s, a: PR._bin_fused(s, fj, a, H, W, NC, sx, sy)[0],
+    dt = timed(lambda s, a: PR._bin_fused(s, fj, a, H, W, MAXC, sx, sy)[0],
                screen, attrs, K=args.K)
     out["bin_full_ms"] = round(dt * 1e3, 1)
     out["asm_ms"] = round(out["bin_full_ms"] - out["keys_ms"]
-                          - out["sort_ms"] - out["fidx_ms"], 1)
+                          - out["sort_ms"] - out["chunks_ms"], 1)
     print("bin full", out["bin_full_ms"], "ms (asm ~",
           out["asm_ms"], "ms)", file=sys.stderr, flush=True)
 

@@ -74,7 +74,8 @@ def main() -> None:
 
     plan = V.plan_tiled_render(verts, faces, cam_t, H, W)
     print(f"plan: small={plan['small_faces'].shape[0]} "
-          f"chunks={plan['max_chunks']} span=({plan['span_x']},{plan['span_y']}) "
+          f"total_chunks={plan['total_chunks']} "
+          f"span=({plan['span_x']},{plan['span_y']}) "
           f"ladder={[(f.shape[0], s) for f, s in zip(plan['ladder_faces'], plan['ladder_specs'])]} "
           f"frag={sum(b.shape[0] for b in plan['large_buckets'])}",
           file=sys.stderr, flush=True)
@@ -84,7 +85,7 @@ def main() -> None:
     fj = jnp.asarray(plan["small_faces"])
     cj = jnp.asarray(colors)
     bg = jnp.ones((H, W, 3), jnp.float32)
-    ct = jnp.asarray(cam_t, jnp.float32)
+    cam_tj = jnp.asarray(cam_t, jnp.float32)
 
     out = {}
 
@@ -95,10 +96,10 @@ def main() -> None:
 
     def phase_xform(v):
         vv = v @ pre_rot
-        vv = (vv + ct) @ flip
+        vv = (vv + cam_tj) @ flip
         z = jnp.maximum(-vv[..., 2:3], 1e-6)
-        x = vv[..., 0:1] / z * 5000.0 + W / 2.0
-        y = -vv[..., 1:2] / z * 5000.0 + H / 2.0
+        x = vv[..., 0:1] / z * V.DEFAULT_FOCAL + W / 2.0
+        y = -vv[..., 1:2] / z * V.DEFAULT_FOCAL + H / 2.0
         screen = jnp.concatenate([x, y, z], axis=-1)
         normals = jax.vmap(
             lambda q: raster_lib.vertex_normals(q, all_faces))(vv)
@@ -113,35 +114,63 @@ def main() -> None:
     attrs = jnp.concatenate(
         [jnp.broadcast_to(cj, normals[0].shape), normals[0]], axis=-1)
 
-    # Phase B: binning alone (the fused variant used by render_attrs_tiled).
+    # Phase B: binning alone (the fused CSR variant).
     def phase_bin(s, a):
-        tab, nchunks, overflow, _ = PR._bin_fused(
-            s, fj, a, H, W, plan["max_chunks"],
+        tab, ct, nvalid, overflow, _ = PR._bin_fused(
+            s, fj, a, H, W, plan["total_chunks"],
             plan["span_x"], plan["span_y"])
         # Sum the whole table so XLA cannot dead-code-eliminate any of it.
-        return jnp.sum(nchunks), overflow, jnp.sum(tab)
+        return nvalid, overflow, jnp.sum(tab), jnp.sum(ct)
 
     dt, _ = timed(phase_bin, screen[0], attrs, K=args.K)
     out["bin_ms"] = round(dt * 1e3, 1)
     print("bin", out["bin_ms"], "ms", file=sys.stderr, flush=True)
 
     # Table stats (host-side, informational).
-    tab, nchunks, overflow, metas = jax.jit(
+    tab, ct, nvalid, overflow, metas = jax.jit(
         PR._bin_fused, static_argnums=(3, 4, 5, 6, 7))(
-            screen[0], fj, attrs, H, W, plan["max_chunks"],
+            screen[0], fj, attrs, H, W, plan["total_chunks"],
             plan["span_x"], plan["span_y"])
-    print("table bytes: %.2f GB; overflow=%d; mean chunks=%.1f of %d"
-          % (tab.size * 4 / 2**30, int(overflow),
-             float(jnp.mean(nchunks.astype(jnp.float32))),
-             plan["max_chunks"]),
+    print("table bytes: %.3f GB; overflow=%d; valid chunks=%d of %d"
+          % (tab.size * 4 / 2**30, int(overflow), int(nvalid),
+             plan["total_chunks"]),
           file=sys.stderr, flush=True)
+
+    # Phase C: the Pallas kernel alone, on the prebuilt table.
+    fb = raster_lib._face_bits(int(fj.shape[0]))
+    depth_levels = 1 << (31 - fb)
+    T = (H // PR.TILE_H) * (W // PR.TILE_W)
+
+    def phase_kernel(tb, cs):
+        win, attr = PR._fused_call(tb[None], cs[None], T, 6, fb,
+                                   depth_levels, False)
+        return jnp.sum(win), jnp.sum(attr)
+
+    dt, _ = timed(phase_kernel, tab, ct, K=args.K)
+    out["kernel_ms"] = round(dt * 1e3, 1)
+    print("kernel", out["kernel_ms"], "ms", file=sys.stderr, flush=True)
+
+    # Phase C2: bin + kernel in ONE program, no detile/epilogue — isolates
+    # whether fusing bin with the kernel consumer changes XLA's plan.
+    def phase_binkernel(s, a):
+        tb, cs, nv, ov, _ = PR._bin_fused(
+            s, fj, a, H, W, plan["total_chunks"],
+            plan["span_x"], plan["span_y"])
+        win, at = PR._fused_call(tb[None], cs[None], T, 6, fb,
+                                 depth_levels, False)
+        return jnp.sum(win), jnp.sum(at), nv, ov
+
+    dt, _ = timed(phase_binkernel, screen[0], attrs, K=args.K)
+    out["binkernel_ms"] = round(dt * 1e3, 1)
+    print("bin+kernel", out["binkernel_ms"], "ms", file=sys.stderr,
+          flush=True)
 
     # Phase D: full fused raster call (bin + kernel + detile);
     # kernel+detile ~= this minus the bin phase.
     def phase_full(s, a):
         attr_img, hit, depth, ov = PR.render_attrs_tiled(
-            s[None], fj, a, H, W, max_chunks=plan["max_chunks"],
-            span_x=plan["span_x"], span_y=plan["span_y"])
+            s[None], fj, a, H, W, span_x=plan["span_x"],
+            span_y=plan["span_y"], total_chunks=plan["total_chunks"])
         return jnp.sum(attr_img), jnp.sum(depth * hit)
 
     dt, _ = timed(phase_full, screen[0], attrs, K=args.K)
@@ -152,9 +181,9 @@ def main() -> None:
     # Phase E: whole-frame production render (base + ladder rungs).
     def phase_frame(v):
         img = V.render_frames_tiled(
-            v, fj, None, all_faces, cj, ct, bg, H, W,
-            max_chunks=plan["max_chunks"], span_x=plan["span_x"],
-            span_y=plan["span_y"],
+            v, fj, None, all_faces, cj, cam_tj, bg, H, W,
+            span_x=plan["span_x"], span_y=plan["span_y"],
+            total_chunks=plan["total_chunks"],
             ladder_faces=tuple(jnp.asarray(f) for f in plan["ladder_faces"]),
             ladder_specs=plan["ladder_specs"], to_uint8=True)
         return jnp.sum(img.astype(jnp.int32))

@@ -70,6 +70,10 @@ def animate_video(
     writer = video_lib.VideoWriter(
         out_path, fps=fps or (clip.fps / stride), size=(size, size))
     with writer:
+        # Pipelined dispatch: enqueue the next block's render (async under
+        # jax dispatch) before pulling the previous block to host, so the
+        # device->host transfer and mux overlap device compute.
+        pending = None                        # (device frames, n)
         for s in range(0, F, chunk):
             block = verts_all[s:s + chunk]
             n = block.shape[0]
@@ -77,8 +81,15 @@ def animate_video(
                 block = jnp.concatenate(
                     [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
                     axis=0)
-            frames_np = render_block(block)  # device->host
-            for i in range(n):
+            dev = render_block(block)
+            if pending is not None:
+                frames_np = np.asarray(pending[0])
+                for i in range(pending[1]):
+                    writer.write(frames_np[i])
+            pending = (dev, n)
+        if pending is not None:
+            frames_np = np.asarray(pending[0])
+            for i in range(pending[1]):
                 writer.write(frames_np[i])
     return out_path
 
@@ -112,22 +123,24 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
         sf_j = jnp.asarray(plan["small_faces"])
         lb_j = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
         lad_j = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
-        # Coefficient-table HBM scales with frames x per-tile capacity
-        # summed over the base pass and the span-ladder rungs; dense
-        # reconstructed avatars (high capacity) render in smaller frame
-        # chunks to keep the transient tables bounded (~1.5 GB).
-        total_nc = plan["max_chunks"] + sum(
-            nc for _, _, nc in plan["ladder_specs"])
-        chunk = max(1, min(chunk, 256 // total_nc))
+        # Coefficient-table HBM scales with frames x the CSR chunk budget
+        # summed over the base pass and the span-ladder rungs; bound the
+        # transient tables to ~1.5 GB per dispatched frame block.
+        chunk_bytes = 4 * (5 + 6) * 32 * 4       # (4, G*CF_FUSED) f32 rows
+        total_tc = plan["total_chunks"] + sum(
+            spec[3] for spec in plan["ladder_specs"])
+        chunk = max(1, min(chunk,
+                           int(1.5e9 // max(total_tc * chunk_bytes, 1))))
 
         def render_block(block):
-            return np.asarray(video_lib.render_frames_tiled(
+            return video_lib.render_frames_tiled(
                 block, sf_j, lb_j, faces_j, colors_j, cam, bg,
                 height=size, width=size, focal=focal,
                 max_chunks=plan["max_chunks"], span_x=plan["span_x"],
                 span_y=plan["span_y"],
+                total_chunks=plan["total_chunks"],
                 large_windows=plan["large_windows"],
-                ladder_faces=lad_j, ladder_specs=plan["ladder_specs"]))
+                ladder_faces=lad_j, ladder_specs=plan["ladder_specs"])
     else:
         if window is None:
             window = video_lib.auto_window(
@@ -135,9 +148,9 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
                 size, size, focal)
 
         def render_block(block):
-            return np.asarray(video_lib.render_frames(
+            return video_lib.render_frames(
                 block, faces_j, colors_j, cam, bg,
-                height=size, width=size, focal=focal, window=window))
+                height=size, width=size, focal=focal, window=window)
 
     return render_block, chunk
 
@@ -178,7 +191,7 @@ def _animate_video_multihost(avatar, poses, trans, out_path, background,
         if n < chunk:
             block = jnp.concatenate(
                 [block, jnp.repeat(block[-1:], chunk - n, axis=0)], axis=0)
-        blocks.append(render_block(block)[:n])
+        blocks.append(np.asarray(render_block(block))[:n])
     local_frames = np.concatenate(blocks, axis=0)[:per]
 
     # (nproc * per, H, W, 3) in process order; only the LAST process's
@@ -241,9 +254,11 @@ def orbit_video(
         sf_j = jnp.asarray(plan["small_faces"])
         lb_j = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
         lad_j = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
-        total_nc = plan["max_chunks"] + sum(
-            nc for _, _, nc in plan["ladder_specs"])
-        chunk = max(1, min(chunk, 256 // total_nc))
+        chunk_bytes = 4 * (5 + 6) * 32 * 4
+        total_tc = plan["total_chunks"] + sum(
+            spec[3] for spec in plan["ladder_specs"])
+        chunk = max(1, min(chunk,
+                           int(1.5e9 // max(total_tc * chunk_bytes, 1))))
     with writer:
         for s0 in range(0, n_frames, chunk):
             block = varr[s0:s0 + chunk]
@@ -258,6 +273,7 @@ def orbit_video(
                     height=size, width=size, focal=focal,
                     max_chunks=plan["max_chunks"], span_x=plan["span_x"],
                     span_y=plan["span_y"],
+                    total_chunks=plan["total_chunks"],
                     large_windows=plan["large_windows"],
                     ladder_faces=lad_j, ladder_specs=plan["ladder_specs"])
             else:

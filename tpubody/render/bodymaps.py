@@ -66,22 +66,27 @@ def _render_channels_tiled(screen, faces, attrs, height, width,
     composited), planned host-side from the projected extents."""
     from tpubody.render import pallas_raster as PR
 
+    from tpubody.render import video as video_lib
+
     s = np.asarray(screen)[:, :2]
     tri = s[np.asarray(faces)]
-    ext = (tri.max(axis=1) - tri.min(axis=1)).max(axis=1)
-    ext = ext[np.isfinite(ext)]
+    # Degenerate (zero-area) padding faces are culled by the binner; drop
+    # them from the occupancy estimate too.
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    area = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    live = np.isfinite(area) & (np.abs(area) > 1e-12)
+    tri = tri[live]
+    ext = (tri.max(axis=1) - tri.min(axis=1)).max(axis=1) if tri.size \
+        else np.zeros(0)
     bound = float(ext.max()) * 1.05 + 1.0 if ext.size else 8.0
     sx, sy = PR.max_span_for(bound)
-    # Rest-pose per-tile occupancy -> chunk capacity (cheap bincount).
-    TX, TY = width // PR.TILE_W, height // PR.TILE_H
-    cx = np.clip((tri[:, :, 0].mean(1) // PR.TILE_W).astype(int), 0, TX - 1)
-    cy = np.clip((tri[:, :, 1].mean(1) // PR.TILE_H).astype(int), 0, TY - 1)
-    occ = np.bincount(cy * TX + cx, minlength=TX * TY)
-    peak = int(occ.max()) * sx * sy
-    nc = int(np.clip(-(-peak * 1.5 // PR.CF_FUSED), 1, 64))
+    # This-pose per-tile slot occupancy -> CSR chunk budget.
+    occ = video_lib._tile_occupancy(tri, sx, sy, height, width)
+    tc = video_lib._chunk_budget(occ, 1.25)
     attr, mask, _, _ = PR.render_attrs_tiled(
         screen[None], faces, attrs, height, width,
-        max_chunks=nc, span_x=sx, span_y=sy)
+        span_x=sx, span_y=sy, total_chunks=tc)
     img = jnp.where(mask[0][..., None], attr[0], jnp.asarray(
         background, attr.dtype))
     return img, mask[0]

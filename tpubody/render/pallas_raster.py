@@ -8,10 +8,14 @@ batch exceeds HBM).  This module replaces pass 1 with a tile-binned Pallas
 kernel that does the work the way the hardware wants:
 
   Binning (XLA): each face is assigned to the 8x128-pixel tiles its bbox
-    overlaps (sort by tile id + segment gather); per tile a dense table of
-    face *edge coefficients* is built.  Edge functions and the depth plane
+    overlaps (sort by tile id + segment gather); a table of face *edge
+    coefficients* is built per tile.  Edge functions and the depth plane
     are affine in pixel coordinates, so a face chunk is just a coefficient
-    matrix.
+    matrix.  The z-buffer path uses a dense (T, capacity) table; the fused
+    path uses a CSR chunk list (flat (total_chunks, ...) table + a
+    chunk->tile map read by the kernel's output index_map via scalar
+    prefetch) — on production 471k-face avatars the dense table ran at 18%
+    occupancy and its gather/assembly dominated the whole frame.
 
   Kernel (Pallas, grid = frames x tiles): for each chunk of 128 faces,
     evaluate all edge functions for all 1024 tile pixels as ONE matmul
@@ -395,6 +399,7 @@ def max_span_for(extent: float) -> Tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 CF_FUSED = 32      # faces per chunk: most covered tiles hold <32 faces
+SUPER_CHUNK = 16   # chunks per kernel DMA (per-chunk copies stall on latency)
 MAX_ATTR = 32      # attr-channel cap per fused call (VMEM-bounded)
 
 
@@ -445,12 +450,21 @@ def _fused_rows(verts, faces, attrs, height, width):
     return rows, meta
 
 
-def _bin_fused(verts, faces, attrs, height, width, max_chunks,
+def _bin_fused(verts, faces, attrs, height, width, total_chunks,
                span_x, span_y):
-    """Binning for the fused kernel: one row-gather + per-slot constants.
+    """CSR chunk-list binning for the fused kernel.
 
-    Returns (tab (T, NC, G*CF, 4), nchunks (T,), overflow) with
-    G = 5 + C groups ordered [e0, e1, e2, zq, fid, attr_0..attr_{C-1}].
+    Instead of a dense (T, per-tile-capacity) table — measured 82% padding
+    waste on production avatars (mean 11.6 of 64 chunks occupied; the
+    row gather + table assembly was 140 of 174 ms/frame at 471k faces) —
+    build a flat list of ``total_chunks`` face chunks plus per-tile chunk
+    ranges: the kernel streams exactly its tile's range from the
+    HBM-resident table, so the table, the gather, and every assembly pass
+    scale with the ACTUAL number of occupied chunks.
+
+    Returns (tab (MAXC, 4, G*CF), cstarts (T+1,) i32 per-tile chunk
+    offsets, nvalid () i32, overflow () i32, meta) with G = 5 + C groups
+    ordered [e0, e1, e2, zq, fid, attr_0..attr_{C-1}].
     """
     TX, TY = width // TILE_W, height // TILE_H
     T = TX * TY
@@ -458,7 +472,7 @@ def _bin_fused(verts, faces, attrs, height, width, max_chunks,
     C = int(attrs.shape[1])
     G = 5 + C
     CF = CF_FUSED
-    cap = max_chunks * CF
+    MAXC = int(total_chunks)
 
     rows, meta = _fused_rows(verts, faces, attrs, height, width)
     p0, p1, p2 = meta["p0"], meta["p1"], meta["p2"]
@@ -491,19 +505,38 @@ def _bin_fused(verts, faces, attrs, height, width, max_chunks,
         jnp.arange(F, dtype=jnp.int32)[:, None], (F, M)).reshape(F * M)
     keys_s, fids_s = jax.lax.sort_key_val(keys, fids)
     seg = jnp.searchsorted(keys_s, jnp.arange(T + 1, dtype=jnp.int32))
-    counts = seg[1:] - seg[:-1]
-    overflow = jnp.maximum(counts - cap, 0).sum()
-    counts_c = jnp.minimum(counts, cap)
-    nchunks = (counts_c + CF - 1) // CF
+    counts = seg[1:] - seg[:-1]                          # (T,)
 
-    j = jnp.arange(cap, dtype=jnp.int32)
-    slot = jnp.clip(seg[:-1, None] + j[None], 0, F * M - 1)
-    fidx = jnp.where(j[None] < counts_c[:, None], fids_s[slot], F)  # (T,cap)
+    # Chunk list: tile t owns chunks [cum[t]-nch[t], cum[t]).  The kernel
+    # streams exactly its tile's chunks from HBM, so chunks past the
+    # static budget are simply dropped (counted) and the budget's slack
+    # costs nothing at run time.
+    nch = (counts + CF - 1) // CF
+    cum = jnp.cumsum(nch)
+    nvalid = cum[-1].astype(jnp.int32)
+    starts0 = cum - nch
+    kept_ch = jnp.clip(MAXC - starts0, 0, nch)
+    overflow = jnp.sum(counts - jnp.minimum(counts, kept_ch * CF))
+    # Per-tile chunk ranges, clamped into the budget: (T+1,) with a
+    # leading 0 — tile t streams chunks [cstarts[t], cstarts[t+1]).
+    cstarts = jnp.minimum(
+        jnp.concatenate([jnp.zeros((1,), cum.dtype), cum]), MAXC
+    ).astype(jnp.int32)
 
-    R = rows[fidx]                                       # (T, cap, L) 1 gather
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
-    ox = ((tile_ids % TX) * TILE_W).astype(jnp.float32)[:, None]
-    oy = ((tile_ids // TX) * TILE_H).astype(jnp.float32)[:, None]
+    cidx = jnp.arange(MAXC, dtype=jnp.int32)
+    ct = jnp.searchsorted(cum, cidx, side="right").astype(jnp.int32)
+    ct = jnp.minimum(ct, T - 1)                          # past-end -> last
+    k = cidx - starts0[ct]                               # ordinal in tile
+    fcount = jnp.clip(counts[ct] - k * CF, 0, CF)
+    fcount = jnp.where(cidx < nvalid, fcount, 0)
+    slot0 = jnp.clip(seg[ct] + k * CF, 0, F * M - 1)
+    j = jnp.arange(CF, dtype=jnp.int32)
+    slot = jnp.clip(slot0[:, None] + j[None], 0, F * M - 1)
+    fidx = jnp.where(j[None] < fcount[:, None], fids_s[slot], F)  # (MAXC,CF)
+
+    R = rows[fidx]                                       # (MAXC, CF, L)
+    ox = ((ct % TX) * TILE_W).astype(jnp.float32)[:, None]
+    oy = ((ct // TX) * TILE_H).astype(jnp.float32)[:, None]
 
     x0, y0 = R[..., 0], R[..., 1]
     x1, y1 = R[..., 2], R[..., 3]
@@ -535,29 +568,51 @@ def _bin_fused(verts, faces, attrs, height, width, max_chunks,
     bA = (b0[..., None] * A0 + b1[..., None] * A1 + b2[..., None] * A2)
     cA = (c0[..., None] * A0 + c1[..., None] * A1 + c2[..., None] * A2)
 
-    # Assemble as (T, NC, 4, G*CF): coefficient columns on the second-minor
-    # axis, lanes = g-major face blocks.  A trailing dim of 4 would be
-    # tile-padded 32x in HBM (32x kernel DMA + OOM at batch 32); this
-    # layout pads ~2x only.
+    # Assemble as (MAXC, 4, G*CF): coefficient columns on the second-minor
+    # axis, lanes = g-major face blocks (a trailing dim of 4 would be
+    # tile-padded 32x in HBM; G*CF pads ~9% only).
     zero = jnp.zeros_like(a0)
 
-    def col(vals):     # list of G (T, cap) arrays -> (T, NC, G*CF)
-        s = jnp.stack(vals, axis=2)                      # (T, cap, G)
-        s = s.reshape(T, max_chunks, CF, G).transpose(0, 1, 3, 2)
-        return s.reshape(T, max_chunks, G * CF)
+    def col(vals):     # list of G (MAXC, CF) arrays -> (MAXC, G*CF)
+        s = jnp.stack(vals, axis=2)                      # (MAXC, CF, G)
+        return s.transpose(0, 2, 1).reshape(MAXC, G * CF)
 
     attr_cols = lambda X: [X[..., c] for c in range(C)]  # noqa: E731
     colA = col([a0, a1, a2, az, zero] + attr_cols(aA))
     colB = col([b0, b1, b2, bz, zero] + attr_cols(bA))
     colC = col([c0, c1, c2, cz, fidv] + attr_cols(cA))
-    tab = jnp.stack([colA, colB, colC, jnp.zeros_like(colA)], axis=2)
-    return tab, nchunks.astype(jnp.int32), overflow, meta
+    tab = jnp.stack([colA, colB, colC, jnp.zeros_like(colA)], axis=1)
+    # Manual HBM->VMEM DMA slices must be lane-aligned: pad the minor dim
+    # to a multiple of 128 (the tiled HBM layout already pads there, so
+    # this costs no real memory or bandwidth).
+    lane_pad = (-(G * CF)) % 128
+    if lane_pad:
+        tab = jnp.pad(tab, ((0, 0), (0, 0), (0, lane_pad)))
+    return tab, cstarts, nvalid, overflow, meta
 
 
-def _fused_kernel(nchunks_ref, table_ref, key_ref, attr_ref, *,
+def _fused_kernel(starts_ref, table_hbm, key_ref, attr_ref, buf, sems, *,
                   fb: int, depth_levels: int, n_attr: int):
+    """Single-pass CSR kernel: grid = (frames, tiles).
+
+    The coefficient table stays in HBM; each tile streams exactly ITS
+    chunk range [starts[b, t], starts[b, t+1]) through a double-buffered
+    pair of VMEM scratch blocks with manual async copies — per-tile
+    padding costs nothing (the dense variant ran at 18% occupancy on
+    production avatars) and grid overhead stays at T steps.  Per chunk,
+    compute the chunk's per-pixel best (key, attrs) and take them where
+    they beat the running accumulator.  One table read + one E-matmul per
+    chunk — the old two-sweep variant paid 16/11 of this matmul work and
+    read the (padded) table twice.
+    """
     CF = CF_FUSED
-    n = nchunks_ref[pl.program_id(0), pl.program_id(1)]
+    SC = SUPER_CHUNK
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    c0 = starts_ref[b, t]
+    n = starts_ref[b, t + 1] - c0
+    nsup = (n + SC - 1) // SC          # super-chunks (SC chunks per DMA:
+    c_pad = -(-n_attr // 8) * 8        # per-chunk copies are latency-bound)
 
     pidx = jax.lax.broadcasted_iota(jnp.int32, (4, LP), 1)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (4, LP), 0)
@@ -567,57 +622,119 @@ def _fused_kernel(nchunks_ref, table_ref, key_ref, attr_ref, *,
                    jnp.where(ridx == 1, py,
                              jnp.where(ridx == 2, 1.0, 0.0)))
 
-    def keys_of(E):
-        e0 = E[0 * CF:1 * CF]
-        e1 = E[1 * CF:2 * CF]
-        e2 = E[2 * CF:3 * CF]
-        zq = E[3 * CF:4 * CF]
-        fid = E[4 * CF:5 * CF]
-        inside = (e0 >= -EPS) & (e1 >= -EPS) & (e2 >= -EPS)
-        dq = jnp.clip(zq, 0.0, float(depth_levels - 1)).astype(jnp.int32)
-        key = (dq << fb) | fid.astype(jnp.int32)
-        return jnp.where(inside, key, INT32_MAX)
+    def copy(i, slot):
+        # The table carries SC zero chunks of tail padding, so the SC-wide
+        # slice stays in bounds for every valid super-chunk start.
+        return pltpu.make_async_copy(
+            table_hbm.at[b, pl.ds(c0 + i * SC, SC)], buf.at[slot],
+            sems.at[slot])
 
-    def sweep1(ci, win):
-        coef = table_ref[0, 0, ci]                       # (4, G*CF)
-        E = jax.lax.dot_general(
-            coef[:, 0:5 * CF], pm, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)         # (5CF, LP)
-        cand = keys_of(E)
-        return jnp.minimum(win, jnp.min(cand, axis=0, keepdims=True))
+    @pl.when(nsup > 0)
+    def _prefetch_first():
+        copy(0, 0).start()
 
-    win = jax.lax.fori_loop(
-        0, n, sweep1, jnp.full((1, LP), INT32_MAX, jnp.int32))
-    hit = win != INT32_MAX
+    def body(i, acc):
+        slot = jax.lax.rem(i, 2)
 
-    def sweep2(ci, acc):
-        coef = table_ref[0, 0, ci]                       # (4, G*CF)
-        E = jax.lax.dot_general(
-            coef, pm, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)         # (G*CF, LP)
-        cand = keys_of(E[0:5 * CF])
-        sel = (cand == win) & hit                        # (CF, LP)
-        parts = []
-        for c in range(n_attr):
-            Ac = E[(5 + c) * CF:(6 + c) * CF]            # (CF, LP)
-            parts.append(jnp.sum(jnp.where(sel, Ac, 0.0), axis=0,
-                                 keepdims=True))
-        for _ in range(c_pad - n_attr):
-            parts.append(jnp.zeros((1, LP), jnp.float32))
-        return acc + jnp.concatenate(parts, axis=0)
+        @pl.when(i + 1 < nsup)
+        def _prefetch_next():
+            copy(i + 1, 1 - slot).start()
 
-    c_pad = -(-n_attr // 8) * 8
-    attr = jax.lax.fori_loop(
-        0, n, sweep2, jnp.zeros((c_pad, LP), jnp.float32))
+        copy(i, slot).wait()
+        key_acc, attr_acc = acc
+        for k in range(SC):
+            valid = i * SC + k < n
+            coef = buf[slot, k]                          # (4, G*CF)
+            E = jax.lax.dot_general(
+                coef, pm, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)     # (G*CF, LP)
+            e0 = E[0 * CF:1 * CF]
+            e1 = E[1 * CF:2 * CF]
+            e2 = E[2 * CF:3 * CF]
+            zq = E[3 * CF:4 * CF]
+            fid = E[4 * CF:5 * CF]
+            inside = valid & (e0 >= -EPS) & (e1 >= -EPS) & (e2 >= -EPS)
+            dq = jnp.clip(zq, 0.0,
+                          float(depth_levels - 1)).astype(jnp.int32)
+            cand = jnp.where(inside, (dq << fb) | fid.astype(jnp.int32),
+                             INT32_MAX)                  # (CF, LP)
 
-    key_ref[0, 0] = win
+            cmin = jnp.min(cand, axis=0, keepdims=True)  # (1, LP)
+            better = cmin < key_acc
+            # Keys embed the face id, so the chunk winner is unique:
+            # select-sum picks exactly one face's planes per pixel.
+            sel = (cand == cmin) & better                # (CF, LP)
+            parts = []
+            for ci in range(n_attr):
+                Ac = E[(5 + ci) * CF:(6 + ci) * CF]
+                parts.append(jnp.sum(jnp.where(sel, Ac, 0.0), axis=0,
+                                     keepdims=True))
+            for _ in range(c_pad - n_attr):
+                parts.append(jnp.zeros((1, LP), jnp.float32))
+            a_win = jnp.concatenate(parts, axis=0)       # (c_pad, LP)
+            key_acc = jnp.minimum(key_acc, cmin)
+            attr_acc = jnp.where(better, a_win, attr_acc)
+        return key_acc, attr_acc
+
+    key0 = jnp.full((1, LP), INT32_MAX, jnp.int32)
+    attr0 = jnp.zeros((c_pad, LP), jnp.float32)
+    key, attr = jax.lax.fori_loop(0, nsup, body, (key0, attr0))
+    key_ref[0, 0] = key
     attr_ref[0, 0] = attr
+
+
+def _fused_call(tab, cstarts, T, C, fb, depth_levels, interpret):
+    """Launch the streaming fused kernel on a prebuilt CSR chunk table.
+
+    tab (B, MAXC, 4, lane-padded G*CF), cstarts (B, T+1).  Factored out of
+    render_attrs_tiled so the kernel can be timed in isolation
+    (tools/kscan_render.py).
+    """
+    B, MAXC = int(tab.shape[0]), int(tab.shape[1])
+    G = 5 + C
+    c_pad = -(-C // 8) * 8
+    # SC zero chunks of tail padding keep the kernel's SC-wide DMA slices
+    # in bounds (invalid sub-chunks are masked in-kernel).
+    tab = jnp.pad(tab, ((0, 0), (0, SUPER_CHUNK), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_fused_kernel, fb=fb,
+                               depth_levels=depth_levels, n_attr=C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # cstarts (B, T+1) in SMEM
+        grid=(B, T),
+        in_specs=[
+            # The chunk table stays in HBM; the kernel streams its tile's
+            # chunk range via manual double-buffered async copies.
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, LP),
+                         lambda b, t, s_ref: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, c_pad, LP),
+                         lambda b, t, s_ref: (b, t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, SUPER_CHUNK, 4,
+                        G * CF_FUSED + (-(G * CF_FUSED)) % 128),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, 1, LP), jnp.int32),
+            jax.ShapeDtypeStruct((B, T, c_pad, LP), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cstarts, tab)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
-                     "interpret"),
+                     "total_chunks", "interpret"),
 )
 def render_attrs_tiled(
     verts: jnp.ndarray,        # (B, V, 3) screen space
@@ -628,10 +745,14 @@ def render_attrs_tiled(
     max_chunks: int = 8,
     span_x: int = 2,
     span_y: int = 5,
+    total_chunks: int = None,
     interpret: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fused rasterize+interpolate for batched frames.
+    """Fused rasterize+interpolate for batched frames (CSR chunk list).
 
+    ``total_chunks`` is the global face-chunk budget per frame (size the
+    actual occupancy with ``plan_tiled_render``); when None it defaults to
+    the dense equivalent T * (max_chunks + 1) — correct but unsized.
     Returns (attr (B, H, W, C), mask (B, H, W), depth (B, H, W),
     overflow ()).  Depth is reconstructed from the quantized winner key
     (21+ bits over the mesh z-range — plenty for shading/compositing).
@@ -648,41 +769,22 @@ def render_attrs_tiled(
     F = int(faces.shape[0])
     TX, TY = width // TILE_W, height // TILE_H
     T = TX * TY
-    NC = max_chunks
+    if total_chunks is None:
+        total_chunks = T * (max_chunks + 1)
+    MAXC = int(total_chunks)
+    if MAXC < T:
+        raise ValueError(f"total_chunks={MAXC} must be >= the tile count "
+                         f"{T} (every tile owns at least one chunk)")
     G = 5 + C
     fb = raster_lib._face_bits(F)
     depth_levels = 1 << (31 - fb)
 
     if attrs.ndim == 2:
         attrs = jnp.broadcast_to(attrs, (B,) + attrs.shape)
-    tab, nchunks, overflow, metas = jax.vmap(
-        lambda v, a: _bin_fused(v, faces, a, height, width, NC,
+    tab, cstarts, nvalid, overflow, metas = jax.vmap(
+        lambda v, a: _bin_fused(v, faces, a, height, width, MAXC,
                                 span_x, span_y))(verts, attrs)
-
-    kernel = functools.partial(_fused_kernel, fb=fb,
-                               depth_levels=depth_levels, n_attr=C)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, T),
-        in_specs=[
-            pl.BlockSpec((1, 1, NC, 4, G * CF_FUSED),
-                         lambda b, t, n_ref: (b, t, 0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 1, LP), lambda b, t, n_ref: (b, t, 0, 0)),
-            pl.BlockSpec((1, 1, c_pad, LP),
-                         lambda b, t, n_ref: (b, t, 0, 0)),
-        ],
-    )
-    win, attr = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T, 1, LP), jnp.int32),
-            jax.ShapeDtypeStruct((B, T, c_pad, LP), jnp.float32),
-        ],
-        interpret=interpret,
-    )(nchunks.reshape(B, T), tab)
+    win, attr = _fused_call(tab, cstarts, T, C, fb, depth_levels, interpret)
 
     def detile(x):          # (B, T, LP) -> (B, H, W)
         x = x.reshape(B, TY, TX, TILE_H, TILE_W)
@@ -694,4 +796,5 @@ def render_attrs_tiled(
     depth = jnp.where(hit, metas["zmin"][:, None, None]
                       + dq / metas["zscale"][:, None, None], jnp.inf)
     attr_img = jnp.stack([detile(attr[:, :, c]) for c in range(C)], -1)
+    attr_img = jnp.where(hit[..., None], attr_img, 0.0)
     return attr_img, hit, depth, overflow.sum()

@@ -136,7 +136,8 @@ def render_frame_binned(
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
-                     "large_windows", "ladder_specs", "to_uint8"))
+                     "total_chunks", "large_windows", "ladder_specs",
+                     "to_uint8"))
 def render_frames_tiled(
     verts_seq: jnp.ndarray,    # (B, V, 3) posed vertices
     small_faces: jnp.ndarray,  # (Fs, 3) faces within the tile-span budget
@@ -151,9 +152,11 @@ def render_frames_tiled(
     max_chunks: int = 8,
     span_x: int = 2,
     span_y: int = 5,
+    total_chunks: int = None,  # CSR chunk budget (plan_tiled_render)
     large_windows: Tuple[int, ...] = (),   # static; parallel to buckets
     ladder_faces=(),           # tuple of (Fi, 3) face arrays (operands)
-    ladder_specs: Tuple[Tuple[int, int, int], ...] = (),  # (sx, sy, nc)
+    ladder_specs: Tuple[Tuple[int, int, int, int], ...] = (),
+    # ladder_specs entries: (span_x, span_y, max_chunks, total_chunks)
     to_uint8: bool = True,
 ) -> jnp.ndarray:
     """Batch-render frames through the fused tiled Pallas rasterizer.
@@ -186,14 +189,17 @@ def render_frames_tiled(
 
     attr, mask, depth, _ = PR.render_attrs_tiled(
         screen, small_faces, attrs, height, width,
-        max_chunks=max_chunks, span_x=span_x, span_y=span_y)
+        max_chunks=max_chunks, span_x=span_x, span_y=span_y,
+        total_chunks=total_chunks)
 
-    for lf, (sx2, sy2, nc2) in zip(ladder_faces or (), ladder_specs):
+    for lf, spec in zip(ladder_faces or (), ladder_specs):
+        sx2, sy2, nc2 = spec[:3]
+        tc2 = spec[3] if len(spec) > 3 else None
         if int(lf.shape[0]) == 0:
             continue
         attr2, mask2, depth2, _ = PR.render_attrs_tiled(
             screen, lf, attrs, height, width,
-            max_chunks=nc2, span_x=sx2, span_y=sy2)
+            max_chunks=nc2, span_x=sx2, span_y=sy2, total_chunks=tc2)
         take = mask2 & (depth2 < depth)
         depth = jnp.where(take, depth2, depth)
         attr = jnp.where(take[..., None], attr2, attr)
@@ -226,30 +232,39 @@ def render_frames_tiled(
     return img
 
 
-def _tile_occupancy_peak(tri: np.ndarray, span_x: int, span_y: int,
-                         height: int, width: int) -> int:
-    """Peak per-tile slot count when binning these triangles with the given
-    tile spans (rest-pose estimate for max_chunks sizing)."""
+def _tile_occupancy(tri: np.ndarray, span_x: int, span_y: int,
+                    height: int, width: int) -> np.ndarray:
+    """Per-tile slot counts when binning these triangles with the given
+    tile spans (rest-pose estimate for chunk-budget sizing)."""
     from tpubody.render import pallas_raster as PR
 
-    if not tri.shape[0]:
-        return 0
     TX = width // PR.TILE_W
     TY = height // PR.TILE_H
+    count = np.zeros(TX * TY, np.int64)
+    if not tri.shape[0]:
+        return count
     bmin = tri.min(axis=1)
     bmax = tri.max(axis=1)
     tx0 = np.clip(np.floor(bmin[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
     tx1 = np.clip(np.floor(bmax[:, 0]).astype(int) // PR.TILE_W, 0, TX - 1)
     ty0 = np.clip(np.floor(bmin[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
     ty1 = np.clip(np.floor(bmax[:, 1]).astype(int) // PR.TILE_H, 0, TY - 1)
-    count = np.zeros(TX * TY, np.int64)
     for dy in range(span_y):
         for dx in range(span_x):
             tid = np.clip(ty0 + dy, 0, TY - 1) * TX + np.clip(tx0 + dx, 0,
                                                               TX - 1)
             ok = (ty0 + dy <= ty1) & (tx0 + dx <= tx1)
             np.add.at(count, tid[ok], 1)
-    return int(count.max()) if count.size else 0
+    return count
+
+
+def _chunk_budget(counts: np.ndarray, slack: float) -> int:
+    """CSR chunk budget for rest-pose per-tile slot ``counts``: every tile
+    owns >=1 chunk; slack absorbs animation deformation."""
+    from tpubody.render import pallas_raster as PR
+
+    per_tile = np.maximum(-(-counts * slack // PR.CF_FUSED), 1)
+    return int(per_tile.sum())
 
 
 def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
@@ -285,10 +300,11 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
     large = f[ext > small_bound]
     span_x, span_y = PR.max_span_for(small_bound)
 
-    peak = _tile_occupancy_peak(tri[ext <= small_bound], span_x, span_y,
-                                height, width)
+    occ = _tile_occupancy(tri[ext <= small_bound], span_x, span_y,
+                          height, width)
     max_chunks = int(np.clip(
-        np.ceil(peak * slack / PR.CF_FUSED), 1, 64))
+        np.ceil(int(occ.max()) * slack / PR.CF_FUSED), 1, 64))
+    total_chunks = _chunk_budget(occ, slack)
 
     large_window = 256
     if large.shape[0]:
@@ -296,7 +312,8 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
         large_window = int(min(max(np.ceil(lw / 8) * 8 + 8, 32), 512))
 
     # Span-ladder classes: over-span faces keep riding the tiled Pallas
-    # kernel, each rung with tile spans sized for its extent bound.
+    # kernel, each rung with tile spans sized for its extent bound and a
+    # CSR chunk budget sized from the rung's rest-pose occupancy.
     ladder_faces, ladder_specs = [], []
     lo = small_bound
     for bound in ladder_bounds:
@@ -306,10 +323,11 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
         sel = f[sel_mask]
         if sel.shape[0]:
             sx, sy = PR.max_span_for(bound)
-            pk = _tile_occupancy_peak(tri[sel_mask], sx, sy, height, width)
-            nc = int(np.clip(np.ceil(pk * slack / PR.CF_FUSED), 1, 64))
+            occ_r = _tile_occupancy(tri[sel_mask], sx, sy, height, width)
+            nc = int(np.clip(
+                np.ceil(int(occ_r.max()) * slack / PR.CF_FUSED), 1, 64))
             ladder_faces.append(sel.astype(np.int32))
-            ladder_specs.append((sx, sy, nc))
+            ladder_specs.append((sx, sy, nc, _chunk_budget(occ_r, slack)))
         lo = bound
 
     # Fragment-path memory plan for faces beyond the ladder.  A single
@@ -347,6 +365,7 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
     return dict(small_faces=small.astype(np.int32),
                 large_faces=large.astype(np.int32),
                 span_x=span_x, span_y=span_y, max_chunks=max_chunks,
+                total_chunks=total_chunks,
                 large_window=large_window,
                 large_buckets=large_buckets,
                 large_windows=tuple(large_windows),
