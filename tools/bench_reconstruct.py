@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import _cache  # noqa: E402
+
+_cache.enable()
+
 DEFAULT_FIXTURE = "/root/reference/data/tests/test01"
 
 

@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import _cache  # noqa: E402
+
+_cache.enable()
+
 DEFAULT_FIXTURE = "/root/reference/data/tests/test03_1024"
 DEFAULT_CLIP = "/root/reference/data/amsass/09_05_poses.npz"
 
@@ -55,6 +59,9 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--lod", type=int, default=None,
+                    help="decimate the avatar to ~N verts before "
+                         "rendering (quality/speed knob)")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -81,7 +88,7 @@ def main() -> None:
     for label in ("cold", "warm"):
         t0 = time.perf_counter()
         animate_lib.animate_video(avatar, clip, out, size=args.size,
-                                  chunk=args.chunk)
+                                  chunk=args.chunk, lod=args.lod)
         dt = time.perf_counter() - t0
         fps = n / dt
         print(f"{label}: {n} frames in {dt:.2f}s = {fps:.2f} fps",
@@ -92,6 +99,7 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": f"frames/sec at {args.size}^2 (incl. skinning+mux)",
         "frames": n,
+        "lod": args.lod,
         "avatar_faces": int(avatar.faces.shape[0]),
         "vs_reference_playback": round(fps / 30.0, 2),
     }))

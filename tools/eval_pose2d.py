@@ -26,6 +26,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import _cache  # noqa: E402
+
+_cache.enable()
+
 import numpy as np
 
 DEFAULT_FIXTURES = (

@@ -20,6 +20,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import _cache  # noqa: E402
+
+_cache.enable()
+
 import numpy as np
 
 
@@ -139,10 +143,9 @@ def main() -> None:
     # Phase C: the Pallas kernel alone, on the prebuilt table.
     fb = raster_lib._face_bits(int(fj.shape[0]))
     depth_levels = 1 << (31 - fb)
-    T = (H // PR.TILE_H) * (W // PR.TILE_W)
 
     def phase_kernel(tb, cs):
-        win, attr = PR._fused_call(tb[None], cs[None], T, 6, fb,
+        win, attr = PR._fused_call(tb[None], cs[None], H, W, 6, fb,
                                    depth_levels, False)
         return jnp.sum(win), jnp.sum(attr)
 
@@ -156,7 +159,7 @@ def main() -> None:
         tb, cs, nv, ov, _ = PR._bin_fused(
             s, fj, a, H, W, plan["total_chunks"],
             plan["span_x"], plan["span_y"])
-        win, at = PR._fused_call(tb[None], cs[None], T, 6, fb,
+        win, at = PR._fused_call(tb[None], cs[None], H, W, 6, fb,
                                  depth_levels, False)
         return jnp.sum(win), jnp.sum(at), nv, ov
 
@@ -185,7 +188,8 @@ def main() -> None:
             span_x=plan["span_x"], span_y=plan["span_y"],
             total_chunks=plan["total_chunks"],
             ladder_faces=tuple(jnp.asarray(f) for f in plan["ladder_faces"]),
-            ladder_specs=plan["ladder_specs"], to_uint8=True)
+            ladder_specs=plan["ladder_specs"], to_uint8=True,
+            channel_major_out=True)
         return jnp.sum(img.astype(jnp.int32))
 
     dt, _ = timed(phase_frame, vj, K=args.K)

@@ -104,6 +104,48 @@ def fill_holes(value: jnp.ndarray, mask: jnp.ndarray,
 
 
 @jax.jit
+def fill_holes_pyramid(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Pull-push hole fill: O(log n) fixed passes instead of the
+    diffusion fill's data-dependent while_loop (up to 512 sequential
+    3x3 passes over the full H x W x C block — the warp stage's
+    dominant device cost at 1024^2 x 30).
+
+    Pull builds masked 2x2-mean levels; push fills each level's holes
+    from the next-coarser level.  Same contract as ``fill_holes``
+    (unfilled mask pixels get neighborhood-consistent values, everything
+    else passes through; replaces the reference's sklearn 1-NN edge fill,
+    lib/Warp.py:43-46) — values differ from the diffusion fixed point but
+    stay in the local value range, and the warp stage's masked box smooth
+    runs after either fill.
+    """
+    m = mask.astype(jnp.bool_)
+    filled0 = (jnp.sum(jnp.abs(value), axis=-1) > 0) & m
+    v = jnp.where(filled0[..., None], value, 0.0)
+    w = filled0.astype(value.dtype)
+    H, W = int(v.shape[0]), int(v.shape[1])
+
+    levels = []
+    while H > 1 or W > 1:
+        levels.append((v, w))
+        H2, W2 = (H + 1) // 2, (W + 1) // 2
+        v = jnp.pad(v, ((0, H2 * 2 - H), (0, W2 * 2 - W), (0, 0)))
+        w = jnp.pad(w, ((0, H2 * 2 - H), (0, W2 * 2 - W)))
+        vs = (v * w[..., None]).reshape(H2, 2, W2, 2, -1).sum(axis=(1, 3))
+        ws = w.reshape(H2, 2, W2, 2).sum(axis=(1, 3))
+        v = vs / jnp.maximum(ws, 1.0)[..., None]
+        w = (ws > 0).astype(value.dtype)
+        H, W = H2, W2
+
+    for vf, wf in reversed(levels):
+        Hf, Wf = int(vf.shape[0]), int(vf.shape[1])
+        up = jnp.repeat(jnp.repeat(v, 2, axis=0), 2, axis=1)[:Hf, :Wf]
+        v = jnp.where(wf[..., None] > 0, vf, up)
+
+    return jnp.where(filled0[..., None], value,
+                     jnp.where(m[..., None], v, value))
+
+
+@jax.jit
 def smooth_filled(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """One masked 3x3 mean pass over the filled map (reference's box
     smoothing loop, lib/Warp.py:424-445)."""
@@ -128,6 +170,7 @@ def warp_stage(
     smplh_value,
     k: int = 64,
     smooth_weights: bool = True,
+    fill: str = "pyramid",
     timer=None,
 ) -> WarpResult:
     """Full warp stage (reference Wrap.__call__, lib/Warp.py:28-46).
@@ -184,11 +227,15 @@ def warp_stage(
 
     mask = jnp.asarray(np.asarray(rgb_mask) != 0)
     with _sub(timer, "warp/fill_holes"):
-        filled, fill_iters = _fill_holes_full(raw, mask)
+        if fill == "pyramid":
+            filled = fill_holes_pyramid(raw, mask)
+        else:
+            filled, fill_iters = _fill_holes_full(raw, mask)
+            if timer is not None:
+                timer.records.append({"stage": "warp/fill_holes_iters",
+                                      "seconds": int(fill_iters)})
         if timer is not None:
             filled.block_until_ready()
-            timer.records.append(
-                {"stage": "warp/fill_holes_iters", "seconds": int(fill_iters)})
     with _sub(timer, "warp/smooth"):
         filled = smooth_filled(filled, mask)
         if smooth_weights and value.shape[-1] > 6:

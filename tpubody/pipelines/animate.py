@@ -41,6 +41,7 @@ def animate_video(
     mesh=None,
     window: Optional[int] = None,
     multihost: bool = False,
+    lod: Optional[int] = None,
 ) -> str:
     """Render the avatar driven by the clip into an MP4 at ``out_path``.
 
@@ -51,6 +52,14 @@ def animate_video(
     SURVEY.md §5 video-assembly collective), and process 0 muxes the MP4.
     Every process returns the out_path; only process 0 writes it.
     """
+    if lod:
+        # Rendering LOD: reconstructed avatars carry ~2 px triangles at
+        # 1024^2 (471k faces for a screen coverage of ~600k px); vertex-
+        # cluster decimation trades that oversampling for raster
+        # throughput (a quality knob the reference's GPU path lacks).
+        from tpubody.mesh import decimate as decimate_lib
+
+        avatar = decimate_lib.decimate_avatar(avatar, target_verts=lod)
     poses = clip.poses[::stride]
     trans = clip.trans[::stride]
     F = poses.shape[0]
@@ -83,15 +92,23 @@ def animate_video(
                     axis=0)
             dev = render_block(block)
             if pending is not None:
-                frames_np = np.asarray(pending[0])
+                frames_np = _to_hwc(np.asarray(pending[0]))
                 for i in range(pending[1]):
                     writer.write(frames_np[i])
             pending = (dev, n)
         if pending is not None:
-            frames_np = np.asarray(pending[0])
+            frames_np = _to_hwc(np.asarray(pending[0]))
             for i in range(pending[1]):
                 writer.write(frames_np[i])
     return out_path
+
+
+def _to_hwc(frames: np.ndarray) -> np.ndarray:
+    """(B, 3, H, W) device-native frames -> (B, H, W, 3) for the muxer
+    (the flip runs on host; doing it on device costs ~100 ms/frame)."""
+    if frames.ndim == 4 and frames.shape[1] == 3 and frames.shape[-1] != 3:
+        return np.moveaxis(frames, 1, -1)
+    return frames
 
 
 def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
@@ -133,6 +150,8 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
                            int(1.5e9 // max(total_tc * chunk_bytes, 1))))
 
         def render_block(block):
+            # channel_major_out: the device-side HWC conversion costs
+            # ~100 ms/frame at 1024^2; the host flips at mux time instead.
             return video_lib.render_frames_tiled(
                 block, sf_j, lb_j, faces_j, colors_j, cam, bg,
                 height=size, width=size, focal=focal,
@@ -140,7 +159,8 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
                 span_y=plan["span_y"],
                 total_chunks=plan["total_chunks"],
                 large_windows=plan["large_windows"],
-                ladder_faces=lad_j, ladder_specs=plan["ladder_specs"])
+                ladder_faces=lad_j, ladder_specs=plan["ladder_specs"],
+                channel_major_out=True)
     else:
         if window is None:
             window = video_lib.auto_window(
@@ -191,7 +211,7 @@ def _animate_video_multihost(avatar, poses, trans, out_path, background,
         if n < chunk:
             block = jnp.concatenate(
                 [block, jnp.repeat(block[-1:], chunk - n, axis=0)], axis=0)
-        blocks.append(np.asarray(render_block(block))[:n])
+        blocks.append(_to_hwc(np.asarray(render_block(block)))[:n])
     local_frames = np.concatenate(blocks, axis=0)[:per]
 
     # (nproc * per, H, W, 3) in process order; only the LAST process's

@@ -679,18 +679,28 @@ def _fused_kernel(starts_ref, table_hbm, key_ref, attr_ref, buf, sems, *,
     key0 = jnp.full((1, LP), INT32_MAX, jnp.int32)
     attr0 = jnp.zeros((c_pad, LP), jnp.float32)
     key, attr = jax.lax.fori_loop(0, nsup, body, (key0, attr0))
-    key_ref[0, 0] = key
-    attr_ref[0, 0] = attr
+    # Write in image layout: pm's pixel lanes are row-major over the
+    # 8x128 tile, so unflattening lanes to (TILE_H, TILE_W) lands each
+    # output block at its screen position — no XLA detile pass (measured
+    # ~109 ms/frame of per-channel slice+transpose at 1024^2).
+    key_ref[0] = key.reshape(TILE_H, TILE_W)
+    attr_ref[0] = attr.reshape(c_pad, TILE_H, TILE_W)
 
 
-def _fused_call(tab, cstarts, T, C, fb, depth_levels, interpret):
+def _fused_call(tab, cstarts, height, width, C, fb, depth_levels,
+                interpret):
     """Launch the streaming fused kernel on a prebuilt CSR chunk table.
 
-    tab (B, MAXC, 4, lane-padded G*CF), cstarts (B, T+1).  Factored out of
+    tab (B, MAXC, 4, lane-padded G*CF), cstarts (B, T+1).  Returns
+    (win (B, H, W) i32, attr (B, c_pad, H, W) f32) — the kernel writes
+    image-layout blocks directly (each tile's block lands at its screen
+    position), so no detile pass exists.  Factored out of
     render_attrs_tiled so the kernel can be timed in isolation
     (tools/kscan_render.py).
     """
     B, MAXC = int(tab.shape[0]), int(tab.shape[1])
+    TX, TY = width // TILE_W, height // TILE_H
+    T = TX * TY
     G = 5 + C
     c_pad = -(-C // 8) * 8
     # SC zero chunks of tail padding keep the kernel's SC-wide DMA slices
@@ -708,10 +718,10 @@ def _fused_call(tab, cstarts, T, C, fb, depth_levels, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, LP),
-                         lambda b, t, s_ref: (b, t, 0, 0)),
-            pl.BlockSpec((1, 1, c_pad, LP),
-                         lambda b, t, s_ref: (b, t, 0, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda b, t, s_ref: (b, t // TX, t % TX)),
+            pl.BlockSpec((1, c_pad, TILE_H, TILE_W),
+                         lambda b, t, s_ref: (b, 0, t // TX, t % TX)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, SUPER_CHUNK, 4,
@@ -724,8 +734,8 @@ def _fused_call(tab, cstarts, T, C, fb, depth_levels, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, 1, LP), jnp.int32),
-            jax.ShapeDtypeStruct((B, T, c_pad, LP), jnp.float32),
+            jax.ShapeDtypeStruct((B, height, width), jnp.int32),
+            jax.ShapeDtypeStruct((B, c_pad, height, width), jnp.float32),
         ],
         interpret=interpret,
     )(cstarts, tab)
@@ -734,7 +744,7 @@ def _fused_call(tab, cstarts, T, C, fb, depth_levels, interpret):
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
-                     "total_chunks", "interpret"),
+                     "total_chunks", "channel_major", "interpret"),
 )
 def render_attrs_tiled(
     verts: jnp.ndarray,        # (B, V, 3) screen space
@@ -746,6 +756,7 @@ def render_attrs_tiled(
     span_x: int = 2,
     span_y: int = 5,
     total_chunks: int = None,
+    channel_major: bool = False,
     interpret: bool = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused rasterize+interpolate for batched frames (CSR chunk list).
@@ -753,9 +764,11 @@ def render_attrs_tiled(
     ``total_chunks`` is the global face-chunk budget per frame (size the
     actual occupancy with ``plan_tiled_render``); when None it defaults to
     the dense equivalent T * (max_chunks + 1) — correct but unsized.
-    Returns (attr (B, H, W, C), mask (B, H, W), depth (B, H, W),
-    overflow ()).  Depth is reconstructed from the quantized winner key
-    (21+ bits over the mesh z-range — plenty for shading/compositing).
+    Returns (attr, mask (B, H, W), depth (B, H, W), overflow ()) with
+    attr (B, H, W, C), or (B, C, H, W) — the kernel's native image
+    layout, sparing the transpose — when ``channel_major``.  Depth is
+    reconstructed from the quantized winner key (21+ bits over the mesh
+    z-range — plenty for shading/compositing).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -781,20 +794,30 @@ def render_attrs_tiled(
 
     if attrs.ndim == 2:
         attrs = jnp.broadcast_to(attrs, (B,) + attrs.shape)
-    tab, cstarts, nvalid, overflow, metas = jax.vmap(
-        lambda v, a: _bin_fused(v, faces, a, height, width, MAXC,
-                                span_x, span_y))(verts, attrs)
-    win, attr = _fused_call(tab, cstarts, T, C, fb, depth_levels, interpret)
 
-    def detile(x):          # (B, T, LP) -> (B, H, W)
-        x = x.reshape(B, TY, TX, TILE_H, TILE_W)
-        return x.transpose(0, 1, 3, 2, 4).reshape(B, height, width)
+    def bin_one(v, a):
+        tab, cstarts, nvalid, overflow, meta = _bin_fused(
+            v, faces, a, height, width, MAXC, span_x, span_y)
+        return tab, cstarts, nvalid, overflow, meta["zmin"], meta["zscale"]
 
-    win_img = detile(win[:, :, 0])
+    # NOT vmap: batching the binning's sort/gather/searchsorted lowers to
+    # batched-HLO forms measured ~2x slower than the single-frame program
+    # (kscan: direct bin 60 ms vs ~118 ms extra inside the vmapped call);
+    # frames serialize on one core anyway, so map/scan loses nothing.
+    if B == 1:
+        tab, cstarts, nvalid, overflow, zmin, zscale = jax.tree.map(
+            lambda x: x[None], bin_one(verts[0], attrs[0]))
+    else:
+        tab, cstarts, nvalid, overflow, zmin, zscale = jax.lax.map(
+            lambda va: bin_one(*va), (verts, attrs))
+    win_img, attr = _fused_call(tab, cstarts, height, width, C, fb,
+                                depth_levels, interpret)
+
     hit = win_img != INT32_MAX
     dq = jnp.where(hit, win_img >> fb, 0).astype(jnp.float32)
-    depth = jnp.where(hit, metas["zmin"][:, None, None]
-                      + dq / metas["zscale"][:, None, None], jnp.inf)
-    attr_img = jnp.stack([detile(attr[:, :, c]) for c in range(C)], -1)
-    attr_img = jnp.where(hit[..., None], attr_img, 0.0)
-    return attr_img, hit, depth, overflow.sum()
+    depth = jnp.where(hit, zmin[:, None, None]
+                      + dq / zscale[:, None, None], jnp.inf)
+    attr = jnp.where(hit[:, None], attr[:, :C], 0.0)  # (B, C, H, W)
+    if not channel_major:
+        attr = attr.transpose(0, 2, 3, 1)             # (B, H, W, C)
+    return attr, hit, depth, overflow.sum()

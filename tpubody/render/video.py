@@ -137,7 +137,7 @@ def render_frame_binned(
     jax.jit,
     static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
                      "total_chunks", "large_windows", "ladder_specs",
-                     "to_uint8"))
+                     "to_uint8", "channel_major_out"))
 def render_frames_tiled(
     verts_seq: jnp.ndarray,    # (B, V, 3) posed vertices
     small_faces: jnp.ndarray,  # (Fs, 3) faces within the tile-span budget
@@ -158,6 +158,7 @@ def render_frames_tiled(
     ladder_specs: Tuple[Tuple[int, int, int, int], ...] = (),
     # ladder_specs entries: (span_x, span_y, max_chunks, total_chunks)
     to_uint8: bool = True,
+    channel_major_out: bool = False,
 ) -> jnp.ndarray:
     """Batch-render frames through the fused tiled Pallas rasterizer.
 
@@ -187,10 +188,14 @@ def render_frames_tiled(
     attrs = jnp.concatenate(
         [jnp.broadcast_to(colors, normals.shape), normals], axis=-1)
 
+    # Channel-major throughout: the fused kernel writes (B, C, H, W)
+    # natively; shading and compositing stay in that layout and only the
+    # final 3-channel image transposes back (the per-channel detile cost
+    # ~109 ms/frame at 1024^2 on the production avatar).
     attr, mask, depth, _ = PR.render_attrs_tiled(
         screen, small_faces, attrs, height, width,
         max_chunks=max_chunks, span_x=span_x, span_y=span_y,
-        total_chunks=total_chunks)
+        total_chunks=total_chunks, channel_major=True)
 
     for lf, spec in zip(ladder_faces or (), ladder_specs):
         sx2, sy2, nc2 = spec[:3]
@@ -199,10 +204,11 @@ def render_frames_tiled(
             continue
         attr2, mask2, depth2, _ = PR.render_attrs_tiled(
             screen, lf, attrs, height, width,
-            max_chunks=nc2, span_x=sx2, span_y=sy2, total_chunks=tc2)
+            max_chunks=nc2, span_x=sx2, span_y=sy2, total_chunks=tc2,
+            channel_major=True)
         take = mask2 & (depth2 < depth)
         depth = jnp.where(take, depth2, depth)
-        attr = jnp.where(take[..., None], attr2, attr)
+        attr = jnp.where(take[:, None], attr2, attr)
         mask = mask | mask2
 
     for bf, bw in zip(large_buckets or (), large_windows):
@@ -214,22 +220,28 @@ def render_frames_tiled(
         )(screen, attrs)
         take_big = big.depth < depth
         depth = jnp.minimum(depth, big.depth)
-        attr = jnp.where(take_big[..., None], big.attrs, attr)
+        attr = jnp.where(take_big[:, None],
+                         big.attrs.transpose(0, 3, 1, 2), attr)
         mask = mask | big.mask
 
-    col = attr[..., :3]
-    nrm = attr[..., 3:6]
+    col = attr[:, :3]                                    # (B, 3, H, W)
+    nrm = attr[:, 3:6]
     L = jnp.asarray((0.3, 0.3, -1.0), col.dtype)
     L = L / jnp.linalg.norm(L)
-    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=1, keepdims=True),
                           1e-12)
-    diff = jnp.clip(jnp.abs(jnp.einsum("bhwc,c->bhw", n, L)), 0.0, 1.0)
-    shaded = col * (0.35 + 0.65 * diff)[..., None]
-    img = jnp.where(mask[..., None], shaded, background)
+    diff = jnp.clip(jnp.abs(jnp.einsum("bchw,c->bhw", n, L)), 0.0, 1.0)
+    shaded = col * (0.35 + 0.65 * diff)[:, None]
+    img = jnp.where(mask[:, None], shaded, background.transpose(2, 0, 1))
     img = jnp.clip(img, 0.0, 1.0)
     if to_uint8:
-        return (img * 255.0 + 0.5).astype(jnp.uint8)
-    return img
+        img = (img * 255.0 + 0.5).astype(jnp.uint8)
+    if channel_major_out:
+        return img                                       # (B, 3, H, W)
+    # Channel-last conversion measured ~100 ms/frame at 1024^2 on TPU
+    # (minor-dim-3 layouts are hostile); the video path avoids it with
+    # channel_major_out=True and flips HWC on host at mux time.
+    return img.transpose(0, 2, 3, 1)                     # (B, H, W, 3)
 
 
 def _tile_occupancy(tri: np.ndarray, span_x: int, span_y: int,
