@@ -239,6 +239,36 @@ class TestTiledVideoPath:
         assert os.path.exists(out)
         assert os.path.getsize(out) > 500
 
+    def test_crop_transfer_frames_bit_exact(self, tmp_path, monkeypatch):
+        """Crop-transfer (device slices the clip's projected bbox, host
+        pastes onto the background canvas) must reproduce the full-frame
+        pull exactly — it only changes which bytes cross the host
+        boundary, not the image."""
+        av = _sphere_avatar()
+        rng = np.random.default_rng(11)
+        clip = motion_lib.MotionClip(
+            poses=rng.normal(scale=0.05, size=(3, 24, 3)),
+            trans=np.zeros((3, 3)), fps=30.0)
+        frames = {}
+        orig_write = video_lib.VideoWriter.write
+
+        def rec_write(self, frame):
+            img = np.asarray(frame)
+            if img.dtype != np.uint8:
+                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            frames.setdefault(self.path, []).append(img.copy())
+            orig_write(self, frame)
+
+        monkeypatch.setattr(video_lib.VideoWriter, "write", rec_write)
+        for crop in (False, True):
+            animate_lib.animate_video(
+                av, clip, str(tmp_path / f"ct_{crop}.mp4"), size=128,
+                focal=300.0, cam_t=np.array([0.0, 0.0, 3.0]), chunk=2,
+                crop_transfer=crop)
+        a = np.stack(frames[str(tmp_path / "ct_False.mp4")])
+        b = np.stack(frames[str(tmp_path / "ct_True.mp4")])
+        np.testing.assert_array_equal(a, b)
+
     def test_orbit_video_tiled_path(self, tmp_path):
         """Tile-aligned orbit renders go through the tiled branch (plan +
         bucketed large faces), not the fragment renderer."""

@@ -57,6 +57,9 @@ def main() -> None:
     ap.add_argument("--avatar", default="/tmp/tpubody_bench_video/or_recover.pkl")
     ap.add_argument("--K", type=int, default=4)
     ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--lod", type=int, default=None,
+                    help="decimate to ~N verts before planning (matches "
+                         "bench_video --lod)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +71,10 @@ def main() -> None:
     from tpubody.render import video as V
 
     av = rigging.load_avatar(args.avatar)
+    if args.lod:
+        from tpubody.mesh import decimate as decimate_lib
+
+        av = decimate_lib.decimate_avatar(av, target_verts=args.lod)
     verts = np.asarray(av.v_template, np.float32)
     faces = np.asarray(av.faces, np.int32)
     colors = np.asarray(av.colors[:, :3], np.float32) if getattr(
@@ -198,7 +205,8 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     print(json.dumps({"metric": "kscan_render_production",
-                      "size": args.size, **out}))
+                      "size": args.size, "lod": args.lod,
+                      "faces": int(faces.shape[0]), **out}))
 
 
 if __name__ == "__main__":

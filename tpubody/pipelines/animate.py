@@ -42,6 +42,7 @@ def animate_video(
     window: Optional[int] = None,
     multihost: bool = False,
     lod: Optional[int] = None,
+    crop_transfer: bool = True,
 ) -> str:
     """Render the avatar driven by the clip into an MP4 at ``out_path``.
 
@@ -76,6 +77,55 @@ def animate_video(
     if mesh is not None:
         verts_all = mesh_lib.shard_frames(verts_all, mesh)
 
+    # Crop-transfer: every body pixel of every frame lies inside the
+    # clip's projected vertex bbox (render/video.py::screen_bbox); pulling
+    # only that window to host cuts the device->host bytes by the frame
+    # coverage ratio — through a remote-chip tunnel the 3 MB/frame
+    # full-frame pull, not the render, floors the pipeline (measured
+    # ~18 MB/s).  Host pastes the window onto the background canvas.
+    crop = None
+    if crop_transfer:
+        bb = np.asarray(video_lib.screen_bbox(
+            verts_all, jnp.asarray(np.asarray(cam_t), jnp.float32),
+            size, size, focal))
+        x0 = max(int(np.floor(bb[0])) - 4, 0)
+        x1 = min(int(np.ceil(bb[1])) + 5, size)
+        y0 = max(int(np.floor(bb[2])) - 4, 0)
+        y1 = min(int(np.ceil(bb[3])) + 5, size)
+        if 0 < (x1 - x0) * (y1 - y0) < 0.7 * size * size:
+            crop = (x0, x1, y0, y1)
+
+    canvas = None
+    if crop is not None:
+        x0, x1, y0, y1 = crop
+        bg = background if background is not None \
+            else np.ones((size, size, 3), np.float32)
+        canvas = (np.clip(np.asarray(bg, np.float32), 0.0, 1.0)
+                  * 255.0 + 0.5).astype(np.uint8)
+
+    def pull(dev):
+        """Slice the body window on device (when cropping) and pull."""
+        if crop is not None:
+            x0, x1, y0, y1 = crop
+            if dev.ndim == 4 and dev.shape[1] == 3 and dev.shape[-1] != 3:
+                dev = dev[:, :, y0:y1, x0:x1]
+            else:
+                dev = dev[:, y0:y1, x0:x1, :]
+        return _to_hwc(np.asarray(dev))
+
+    def emit(frames_np, n):
+        for i in range(n):
+            f = frames_np[i]
+            if crop is not None:
+                if f.dtype != np.uint8:
+                    f = (np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                x0, x1, y0, y1 = crop
+                img = canvas.copy()
+                img[y0:y1, x0:x1] = f
+                writer.write(img)
+            else:
+                writer.write(f)
+
     writer = video_lib.VideoWriter(
         out_path, fps=fps or (clip.fps / stride), size=(size, size))
     with writer:
@@ -92,14 +142,10 @@ def animate_video(
                     axis=0)
             dev = render_block(block)
             if pending is not None:
-                frames_np = _to_hwc(np.asarray(pending[0]))
-                for i in range(pending[1]):
-                    writer.write(frames_np[i])
+                emit(pull(pending[0]), pending[1])
             pending = (dev, n)
         if pending is not None:
-            frames_np = _to_hwc(np.asarray(pending[0]))
-            for i in range(pending[1]):
-                writer.write(frames_np[i])
+            emit(pull(pending[0]), pending[1])
     return out_path
 
 

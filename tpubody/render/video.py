@@ -385,6 +385,29 @@ def plan_tiled_render(verts: np.ndarray, faces: np.ndarray, cam_t,
                 ladder_specs=tuple(ladder_specs))
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "focal"))
+def screen_bbox(
+    verts_seq: jnp.ndarray,    # (F, V, 3) posed vertices
+    cam_t: jnp.ndarray,
+    height: int = DEFAULT_SIZE,
+    width: int = DEFAULT_SIZE,
+    focal: float = DEFAULT_FOCAL,
+) -> jnp.ndarray:
+    """Projected-pixel bounds [xmin, xmax, ymin, ymax] over ALL frames
+    (same camera math as render_frames/_tiled).  Rasterized coverage is
+    confined to the projected vertex hull, so this bounds every non-
+    background pixel of every frame — the animate path uses it to pull
+    only the body window across the host boundary (a 1024^2 uint8 frame
+    is ~3 MB; through a remote-device tunnel the full-frame transfer,
+    not the render, is the video floor)."""
+    v = verts_seq @ jnp.asarray(_PRE_ROT.T, verts_seq.dtype)
+    v = (v + cam_t) @ jnp.asarray(_FLIP_YZ.T, verts_seq.dtype)
+    z = jnp.maximum(-v[..., 2], 1e-6)
+    x = v[..., 0] / z * focal + width / 2.0
+    y = -v[..., 1] / z * focal + height / 2.0
+    return jnp.stack([x.min(), x.max(), y.min(), y.max()])
+
+
 def auto_window(verts: np.ndarray, faces: np.ndarray, cam_t,
                 height: int = DEFAULT_SIZE, width: int = DEFAULT_SIZE,
                 focal: float = DEFAULT_FOCAL, slack: float = 1.3,
