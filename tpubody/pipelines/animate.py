@@ -92,16 +92,14 @@ def animate_video(
         x1 = min(int(np.ceil(bb[1])) + 5, size)
         y0 = max(int(np.floor(bb[2])) - 4, 0)
         y1 = min(int(np.ceil(bb[3])) + 5, size)
-        if 0 < (x1 - x0) * (y1 - y0) < 0.7 * size * size:
+        if x1 > x0 and y1 > y0 and (x1 - x0) * (y1 - y0) < 0.7 * size * size:
             crop = (x0, x1, y0, y1)
 
     canvas = None
     if crop is not None:
-        x0, x1, y0, y1 = crop
         bg = background if background is not None \
             else np.ones((size, size, 3), np.float32)
-        canvas = (np.clip(np.asarray(bg, np.float32), 0.0, 1.0)
-                  * 255.0 + 0.5).astype(np.uint8)
+        canvas = video_lib.quantize_u8(np.asarray(bg, np.float32))
 
     def pull(dev):
         """Slice the body window on device (when cropping) and pull."""
@@ -117,8 +115,7 @@ def animate_video(
         for i in range(n):
             f = frames_np[i]
             if crop is not None:
-                if f.dtype != np.uint8:
-                    f = (np.clip(f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+                f = video_lib.quantize_u8(f)
                 x0, x1, y0, y1 = crop
                 img = canvas.copy()
                 img[y0:y1, x0:x1] = f

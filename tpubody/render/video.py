@@ -447,10 +447,7 @@ class VideoWriter:
 
     def write(self, frame: np.ndarray) -> None:
         """frame: (H, W, 3) RGB — float in [0,1] or uint8."""
-        img = np.asarray(frame)
-        if img.dtype != np.uint8:
-            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-        self.writer.write(img[:, :, ::-1])  # RGB -> BGR
+        self.writer.write(quantize_u8(frame)[:, :, ::-1])  # RGB -> BGR
 
     def close(self) -> None:
         self.writer.release()
@@ -460,3 +457,14 @@ class VideoWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def quantize_u8(img: np.ndarray) -> np.ndarray:
+    """float [0,1] -> uint8 with round-half-up — the SAME rule the device
+    kernel applies (render_frames_tiled: ``*255+0.5``), so frames
+    quantized on host (fragment path, crop canvases) are bit-identical
+    to device-quantized ones.  uint8 input passes through."""
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        return a
+    return (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
