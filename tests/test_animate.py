@@ -264,10 +264,72 @@ class TestTiledVideoPath:
             animate_lib.animate_video(
                 av, clip, str(tmp_path / f"ct_{crop}.mp4"), size=128,
                 focal=300.0, cam_t=np.array([0.0, 0.0, 3.0]), chunk=2,
-                crop_transfer=crop)
+                crop_transfer=crop, i420_transfer=False)
         a = np.stack(frames[str(tmp_path / "ct_False.mp4")])
         b = np.stack(frames[str(tmp_path / "ct_True.mp4")])
         np.testing.assert_array_equal(a, b)
+
+    def test_i420_transfer_matches_rgb_path(self, tmp_path, monkeypatch):
+        """The planar-YUV transfer (device rgb_to_i420 -> host cv2
+        I420->BGR) reproduces the uint8-RGB pull up to the 4:2:0 chroma
+        subsample the MP4 codec applies anyway: luma-exact to ~1 LSB,
+        small bounded chroma error at color edges."""
+        import cv2
+
+        av = _sphere_avatar()
+        rng = np.random.default_rng(13)
+        clip = motion_lib.MotionClip(
+            poses=rng.normal(scale=0.05, size=(3, 24, 3)),
+            trans=np.zeros((3, 3)), fps=30.0)
+        frames = {}
+        orig_write = video_lib.VideoWriter.write
+        orig_write_i420 = video_lib.VideoWriter.write_i420
+
+        def rec_write(self, frame):
+            frames.setdefault(self.path, []).append(
+                video_lib.quantize_u8(frame).copy())
+            orig_write(self, frame)
+
+        def rec_write_i420(self, planes):
+            rgb = cv2.cvtColor(np.ascontiguousarray(np.asarray(planes)),
+                               cv2.COLOR_YUV2RGB_I420)
+            frames.setdefault(self.path, []).append(rgb)
+            orig_write_i420(self, planes)
+
+        monkeypatch.setattr(video_lib.VideoWriter, "write", rec_write)
+        monkeypatch.setattr(video_lib.VideoWriter, "write_i420",
+                            rec_write_i420)
+        for mode in (False, True):
+            animate_lib.animate_video(
+                av, clip, str(tmp_path / f"i420_{mode}.mp4"), size=128,
+                focal=300.0, cam_t=np.array([0.0, 0.0, 3.0]), chunk=2,
+                crop_transfer=False, i420_transfer=mode)
+        a = np.stack(frames[str(tmp_path / "i420_False.mp4")]).astype(int)
+        b = np.stack(frames[str(tmp_path / "i420_True.mp4")]).astype(int)
+        assert a.shape == b.shape
+        delta = np.abs(a - b)
+        assert delta.mean() < 2.0
+        # Luma round-trips almost exactly; only chroma edges can deviate.
+        lum_a = a @ [0.299, 0.587, 0.114]
+        lum_b = b @ [0.299, 0.587, 0.114]
+        assert np.abs(lum_a - lum_b).mean() < 1.5
+
+    def test_rgb_to_i420_roundtrip_cv2(self):
+        """rgb_to_i420 inverts through cv2.COLOR_YUV2RGB_I420 to ~1 LSB
+        on chroma-constant 2x2 blocks (the lossless case)."""
+        import cv2
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        # Piecewise-constant 2x2 blocks -> chroma subsampling is exact.
+        small = rng.uniform(0, 1, size=(2, 3, 16, 16)).astype(np.float32)
+        img = np.repeat(np.repeat(small, 2, axis=2), 2, axis=3)
+        planes = np.asarray(video_lib.rgb_to_i420(jnp.asarray(img)))
+        assert planes.shape == (2, 48, 32) and planes.dtype == np.uint8
+        for i in range(2):
+            back = cv2.cvtColor(planes[i], cv2.COLOR_YUV2RGB_I420)
+            ref = (img[i].transpose(1, 2, 0) * 255 + 0.5).astype(int)
+            assert np.abs(back.astype(int) - ref).max() <= 3
 
     def test_orbit_video_tiled_path(self, tmp_path):
         """Tile-aligned orbit renders go through the tiled branch (plan +

