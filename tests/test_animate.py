@@ -314,6 +314,43 @@ class TestTiledVideoPath:
         lum_b = b @ [0.299, 0.587, 0.114]
         assert np.abs(lum_a - lum_b).mean() < 1.5
 
+    def test_gouraud_shading_close_to_phong(self):
+        """Vertex-shaded (gouraud) tiled renders track the per-pixel
+        (phong) default closely even on the coarse sphere avatar — on
+        production ~2 px triangles they are indistinguishable; the video
+        path uses gouraud to halve the kernel's attribute channels."""
+        import jax.numpy as jnp
+
+        av = _sphere_avatar()
+        verts = np.asarray(rigging.animate(
+            av, np.zeros((1, 24, 3)), np.zeros((1, 3))))
+        size, focal = 128, 300.0
+        plan = video_lib.plan_tiled_render(
+            av.v_template, av.faces, np.array([0.0, 0.0, 3.0]),
+            size, size, focal)
+        lb = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
+        lad = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
+        kw = dict(height=size, width=size, focal=focal,
+                  max_chunks=plan["max_chunks"], span_x=plan["span_x"],
+                  span_y=plan["span_y"],
+                  large_windows=plan["large_windows"],
+                  ladder_faces=lad, ladder_specs=plan["ladder_specs"],
+                  to_uint8=False)
+        args = (jnp.asarray(verts, jnp.float32),
+                jnp.asarray(plan["small_faces"]), lb,
+                jnp.asarray(av.faces, jnp.int32),
+                jnp.asarray(np.asarray(av.color), jnp.float32),
+                jnp.asarray([0.0, 0.0, 3.0], jnp.float32),
+                jnp.ones((size, size, 3), jnp.float32))
+        ph = np.asarray(video_lib.render_frames_tiled(*args, **kw))[0]
+        go = np.asarray(video_lib.render_frames_tiled(
+            *args, shading="gouraud", **kw))[0]
+        assert ph.shape == go.shape
+        # Same coverage, close values (vertex vs pixel interpolation of
+        # the same Lambert term).
+        assert np.abs(ph - go).mean() < 0.02
+        assert (np.abs(ph - go) < 0.25).mean() > 0.99
+
     def test_rgb_to_i420_roundtrip_cv2(self):
         """rgb_to_i420 inverts through cv2.COLOR_YUV2RGB_I420 to ~1 LSB
         on chroma-constant 2x2 blocks (the lossless case)."""

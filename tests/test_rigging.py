@@ -176,3 +176,43 @@ class TestRigMesh:
         np.testing.assert_allclose(loaded.v_template, avatar.v_template)
         np.testing.assert_allclose(loaded.joints, avatar.joints)
         assert loaded.parents == avatar.parents
+
+
+class TestInverseLbsNp:
+    def test_matches_device_inverse_lbs(self):
+        """Host f64 inverse LBS == core.lbs.inverse_lbs (f32 device) on
+        random blended transforms."""
+        rng = np.random.default_rng(0)
+        V, J = 500, 24
+        w = rng.dirichlet(np.ones(4), size=V)
+        cols = rng.integers(0, J, size=(V, 4))
+        weights = np.zeros((V, J))
+        np.put_along_axis(weights, cols, w, axis=1)
+        # Random small rotations + translations as rest-relative 4x4s.
+        from scipy.spatial.transform import Rotation
+        G = np.tile(np.eye(4), (J, 1, 1))
+        G[:, :3, :3] = Rotation.from_rotvec(
+            0.3 * rng.normal(size=(J, 3))).as_matrix()
+        G[:, :3, 3] = 0.1 * rng.normal(size=(J, 3))
+        verts = rng.normal(size=(V, 3))
+        dev = np.asarray(lbs_lib.inverse_lbs(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(weights, jnp.float32),
+            jnp.asarray(G, jnp.float32)))
+        host = rigging.inverse_lbs_np(verts, weights, G)
+        np.testing.assert_allclose(host, dev, atol=5e-5)
+
+    def test_roundtrip_through_forward_lbs(self):
+        """inverse_lbs_np(lbs(v)) == v."""
+        rng = np.random.default_rng(3)
+        V, J = 300, 24
+        weights = rng.dirichlet(np.ones(J), size=V)
+        from scipy.spatial.transform import Rotation
+        G = np.tile(np.eye(4), (J, 1, 1))
+        G[:, :3, :3] = Rotation.from_rotvec(
+            0.4 * rng.normal(size=(J, 3))).as_matrix()
+        G[:, :3, 3] = 0.2 * rng.normal(size=(J, 3))
+        rest = rng.normal(size=(V, 3))
+        T = (weights @ G.reshape(J, 16)).reshape(V, 4, 4)
+        posed = np.einsum("vij,vj->vi", T[:, :3, :3], rest) + T[:, :3, 3]
+        back = rigging.inverse_lbs_np(posed, weights, G)
+        np.testing.assert_allclose(back, rest, atol=1e-9)

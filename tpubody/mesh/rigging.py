@@ -70,6 +70,27 @@ def align_mesh_to_smpl(
     return v, J
 
 
+def inverse_lbs_np(verts: np.ndarray, weights: np.ndarray,
+                   G_rel: np.ndarray) -> np.ndarray:
+    """Host (numpy, f64) inverse LBS — same closed form as
+    core.lbs.inverse_lbs (blend -> adjugate inverse -> apply); parity
+    pinned in tests/test_rigging.py.  Exists because pushing a
+    million-vertex weight block across a remote-device boundary costs far
+    more than the (V,24)@(24,16) host matmul it feeds."""
+    G = np.asarray(G_rel, np.float64).reshape(-1, 16)
+    T = (np.asarray(weights, np.float64) @ G).reshape(-1, 4, 4)
+    M, t = T[:, :3, :3], T[:, :3, 3]
+    c0, c1, c2 = M[:, :, 0], M[:, :, 1], M[:, :, 2]
+    r0 = np.cross(c1, c2)
+    r1 = np.cross(c2, c0)
+    r2 = np.cross(c0, c1)
+    det = np.einsum("vi,vi->v", c0, r0)[:, None]
+    v = np.asarray(verts, np.float64) - t
+    return np.stack([np.einsum("vi,vi->v", r0, v),
+                     np.einsum("vi,vi->v", r1, v),
+                     np.einsum("vi,vi->v", r2, v)], axis=1) / det
+
+
 def rig_mesh(
     model: params_lib.BodyModelParams,   # SMPL (24-joint) model
     verts: np.ndarray,                   # (V, 3) reconstructed mesh
@@ -103,14 +124,16 @@ def rig_mesh(
     w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
 
     # Inverse-LBS to T-pose: pose the SMPL skeleton with or_pose, invert the
-    # per-vertex blend transforms (core.lbs closed form).
+    # per-vertex blend transforms (core.lbs closed form).  Runs HOST-side:
+    # the reconstructed mesh's (V, 24) weight block is ~100 MB at 1M verts
+    # and pushing it to a remote device costs multiples of the numpy
+    # compute (measured ~6 s of the rig stage's 8.5 through the tunnel);
+    # f64 on host also beats the f32 device path on precision.
     state = smpl_lib.forward(
         model, jnp.asarray(or_pose, jnp.float32),
         jnp.asarray(shape, jnp.float32))
-    G_rel = state.rel_transforms                       # (24, 4, 4)
-    v_template = np.asarray(lbs_lib.inverse_lbs(
-        jnp.asarray(aligned_verts, jnp.float32),
-        jnp.asarray(w, jnp.float32), G_rel))
+    G_rel = np.asarray(state.rel_transforms, np.float64)   # (24, 4, 4)
+    v_template = inverse_lbs_np(aligned_verts, w, G_rel)
 
     # T-pose joints: G^-1 applied joint-wise (reference to_T_pose :205-207).
     Ginv = np.asarray(lbs_lib.affine_inverse(G_rel), np.float64)

@@ -254,7 +254,7 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk,
                 total_chunks=plan["total_chunks"],
                 large_windows=plan["large_windows"],
                 ladder_faces=lad_j, ladder_specs=plan["ladder_specs"],
-                channel_major_out=True, i420_out=i420)
+                channel_major_out=True, i420_out=i420, shading="gouraud")
 
         return render_block, chunk, i420
     else:

@@ -127,10 +127,7 @@ def reconstruct(
                        [W - 1, H - 1]).astype(int)
 
     with timer.stage("render_value_maps"):
-        h_val = digest(verts, smpl_model.weights, fit.camera_translation,
-                       fit.camera_center, H=H, W=W)
-
-        def _render():
+        def _render_dev():
             import contextlib
             with (detail.stage("render/device") if detail
                   else contextlib.nullcontext()):
@@ -141,45 +138,79 @@ def reconstruct(
                     H, W, focal=fit.camera_fx).value
                 if detail:
                     v.block_until_ready()
-            with (detail.stage("render/to_host") if detail
-                  else contextlib.nullcontext()):
-                return {"smplh_value.npy": np.asarray(v)}
+            return v
 
-        maps = sc.run("render", h_val, ["smplh_value.npy"], _render)
-        smplh_value = maps["smplh_value.npy"]
+        if sc.enabled:
+            h_val = digest(verts, smpl_model.weights,
+                           fit.camera_translation, fit.camera_center,
+                           H=H, W=W)
+            maps = sc.run(
+                "render", h_val, ["smplh_value.npy"],
+                lambda: {"smplh_value.npy": np.asarray(_render_dev())})
+            smplh_value = maps["smplh_value.npy"]
+        else:
+            # Cache off: the 30-channel value block (126 MB at 1024^2)
+            # stays DEVICE-resident through warp and normal2depth — the
+            # host round trip (pull + re-push) cost ~5 s/image through
+            # the remote-device tunnel; it crosses once, before stitch.
+            smplh_value = _render_dev()
 
     with timer.stage("warp"):
-        h_warp = digest(smplh_value, mask)
+        if sc.enabled:
+            h_warp = digest(smplh_value, mask)
 
-        def _warp():
-            import contextlib
-            v = warp_lib.warp_stage(np.asarray(mask), smplh_value,
-                                    timer=detail).value
-            with (detail.stage("warp/to_host") if detail
-                  else contextlib.nullcontext()):
-                return {"warp_and_filled.npy": np.asarray(v)}
+            def _warp():
+                import contextlib
+                v = warp_lib.warp_stage(np.asarray(mask), smplh_value,
+                                        timer=detail).value
+                with (detail.stage("warp/to_host") if detail
+                      else contextlib.nullcontext()):
+                    return {"warp_and_filled.npy": np.asarray(v)}
 
-        warped = sc.run("warp", h_warp, ["warp_and_filled.npy"], _warp)
-        warp_value = warped["warp_and_filled.npy"]
+            warped = sc.run("warp", h_warp, ["warp_and_filled.npy"], _warp)
+            warp_value = warped["warp_and_filled.npy"]
+            stitch_weights = warp_value[..., 6:]
+            warp_dev = None
+        else:
+            warp_dev = warp_lib.warp_stage(np.asarray(mask), smplh_value,
+                                           timer=detail).value
+            warp_value = None
 
     with timer.stage("normal2depth"):
-        h_n2d = digest(warp_value[..., :6], mask)
-        depths = sc.run(
-            "normal2depth", h_n2d, ["depth_front.npy", "depth_back.npy"],
-            lambda: dict(zip(
+        if sc.enabled:
+            h_n2d = digest(warp_value[..., :6], mask)
+            depths = sc.run(
+                "normal2depth", h_n2d,
                 ["depth_front.npy", "depth_back.npy"],
-                [np.asarray(x) for x in n2d.normal2depth(
-                    jnp.asarray(warp_value[..., :6], jnp.float32),
-                    jnp.asarray(np.asarray(mask) > 0))])))
-        front_depth = depths["depth_front.npy"]
-        back_depth = depths["depth_back.npy"]
+                lambda: dict(zip(
+                    ["depth_front.npy", "depth_back.npy"],
+                    [np.asarray(x) for x in n2d.normal2depth(
+                        jnp.asarray(warp_value[..., :6], jnp.float32),
+                        jnp.asarray(np.asarray(mask) > 0))])))
+            front_depth = depths["depth_front.npy"]
+            back_depth = depths["depth_back.npy"]
+        else:
+            import contextlib
+            fd, bd = n2d.normal2depth(
+                warp_dev[..., :6], jnp.asarray(np.asarray(mask) > 0))
+            # The solve is queued async: the one warp pull (stitch input)
+            # overlaps it.  Stitch consumes only the 24 weight channels,
+            # and blend weights in [0,1] lose nothing that survives the
+            # rig stage's renormalization at f16 — so 50 MB crosses the
+            # host boundary instead of the full 126 MB f32 block.
+            with (detail.stage("warp/to_host") if detail
+                  else contextlib.nullcontext()):
+                stitch_weights = np.asarray(
+                    warp_dev[..., 6:].astype(jnp.float16)).astype(np.float32)
+            front_depth = np.asarray(fd)
+            back_depth = np.asarray(bd)
 
     with timer.stage("stitch"):
         fc = np.asarray(front_rgb, np.float32)[..., :3]
         bc = np.asarray(back_rgb, np.float32)[..., :3]
         res = stitch_lib.stitch_mesh(
             front_depth, fc, back_depth, bc,
-            warp_value[..., 6:], J_2d, timer=detail)
+            stitch_weights, J_2d, timer=detail)
         if out_dir:
             np.save(sc.path("points"), res.points)
             np.save(sc.path("faces"), res.faces)

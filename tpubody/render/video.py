@@ -137,7 +137,8 @@ def render_frame_binned(
     jax.jit,
     static_argnames=("height", "width", "max_chunks", "span_x", "span_y",
                      "total_chunks", "large_windows", "ladder_specs",
-                     "to_uint8", "channel_major_out", "i420_out"))
+                     "to_uint8", "channel_major_out", "i420_out",
+                     "shading"))
 def render_frames_tiled(
     verts_seq: jnp.ndarray,    # (B, V, 3) posed vertices
     small_faces: jnp.ndarray,  # (Fs, 3) faces within the tile-span budget
@@ -160,6 +161,7 @@ def render_frames_tiled(
     to_uint8: bool = True,
     channel_major_out: bool = False,
     i420_out: bool = False,
+    shading: str = "phong",
 ) -> jnp.ndarray:
     """Batch-render frames through the fused tiled Pallas rasterizer.
 
@@ -186,8 +188,23 @@ def render_frames_tiled(
     screen = jnp.concatenate([x, y, z], axis=-1)
 
     normals = jax.vmap(lambda vv: raster_lib.vertex_normals(vv, all_faces))(v)
-    attrs = jnp.concatenate(
-        [jnp.broadcast_to(colors, normals.shape), normals], axis=-1)
+    if shading == "gouraud":
+        # Per-VERTEX Lambert: the kernel interpolates pre-shaded color
+        # (3 channels) instead of (color, normal) (6) — halves the
+        # per-chunk select-sum epilogue and shrinks the bin table's
+        # group count 11 -> 8.  On reconstructed avatars (~2-4 px
+        # triangles at 1024^2) vertex- vs pixel-shading is
+        # indistinguishable; the default stays per-pixel ("phong").
+        L = jnp.asarray((0.3, 0.3, -1.0), normals.dtype)
+        L = L / jnp.linalg.norm(L)
+        nn = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        diff_v = jnp.clip(jnp.abs(nn @ L), 0.0, 1.0)       # (B, V)
+        attrs = jnp.broadcast_to(colors, normals.shape) \
+            * (0.35 + 0.65 * diff_v)[..., None]
+    else:
+        attrs = jnp.concatenate(
+            [jnp.broadcast_to(colors, normals.shape), normals], axis=-1)
 
     # Channel-major throughout: the fused kernel writes (B, C, H, W)
     # natively; shading and compositing stay in that layout and only the
@@ -225,14 +242,17 @@ def render_frames_tiled(
                          big.attrs.transpose(0, 3, 1, 2), attr)
         mask = mask | big.mask
 
-    col = attr[:, :3]                                    # (B, 3, H, W)
-    nrm = attr[:, 3:6]
-    L = jnp.asarray((0.3, 0.3, -1.0), col.dtype)
-    L = L / jnp.linalg.norm(L)
-    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=1, keepdims=True),
-                          1e-12)
-    diff = jnp.clip(jnp.abs(jnp.einsum("bchw,c->bhw", n, L)), 0.0, 1.0)
-    shaded = col * (0.35 + 0.65 * diff)[:, None]
+    if shading == "gouraud":
+        shaded = attr[:, :3]                             # (B, 3, H, W)
+    else:
+        col = attr[:, :3]
+        nrm = attr[:, 3:6]
+        L = jnp.asarray((0.3, 0.3, -1.0), col.dtype)
+        L = L / jnp.linalg.norm(L)
+        n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=1, keepdims=True),
+                              1e-12)
+        diff = jnp.clip(jnp.abs(jnp.einsum("bchw,c->bhw", n, L)), 0.0, 1.0)
+        shaded = col * (0.35 + 0.65 * diff)[:, None]
     img = jnp.where(mask[:, None], shaded, background.transpose(2, 0, 1))
     img = jnp.clip(img, 0.0, 1.0)
     if i420_out:
