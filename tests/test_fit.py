@@ -349,6 +349,39 @@ class TestSmplify:
         # recovered lateral motion in the right ballpark of the truth
         assert np.all(np.abs(x - np.asarray(txs)) < 0.1), x
 
+    @pytest.mark.slow
+    def test_fit_sequence_block_chained(self):
+        """Block-chained sequence fitting (block=2: batched dispatches,
+        each warm-started from the previous block's last solution)
+        produces per-frame outputs of the same shape/quality class as
+        the frame-chained path and tracks the same lateral motion."""
+        model = params_lib.synthetic(n_joints=52, n_verts=200, seed=0)
+        dec, dec_params = vposer_lib.create_decoder(jax.random.PRNGKey(1))
+        center = np.array([128.0, 128.0])
+        focal = 800.0
+        state = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
+        j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
+        seq = []
+        txs = [-0.15, -0.05, 0.05, 0.15]
+        for tx in txs:
+            proj = np.asarray(smplify._project(
+                j3, jnp.asarray([tx, 0.0, 4.0]), focal,
+                jnp.asarray(center)))
+            seq.append(np.concatenate([proj, np.ones((67, 1))], axis=1))
+        cfg = smplify.FitConfig(
+            focal_length=focal, maxiters=6, try_both_orient=False,
+            side_view_thsh=0.0,
+            data_weights=(1.0,), body_pose_prior_weights=(404.0,),
+            shape_weights=(100.0,), hand_pose_prior_weights=(404.0,),
+            hand_joints_weights=(0.0,), coll_loss_weights=(0.0,))
+        out = smplify.fit_sequence(model, np.stack(seq), center, cfg,
+                                   dec_params=dec_params, chained=True,
+                                   block=2)
+        assert out.pose.shape == (4, 156)
+        assert np.isfinite(out.loss).all()
+        x = out.camera_translation[:, 0]
+        assert np.all(np.abs(x - np.asarray(txs)) < 0.1), x
+
     @pytest.mark.slow  # two staged-fit compiles (~1-2 min on 1-core CPU)
     def test_fit_sequence_temporal_anchor_reduces_jitter(self):
         """config.temporal_weight anchors each chained frame to the

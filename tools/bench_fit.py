@@ -56,6 +56,10 @@ def main():
     center = np.array([512.0, 512.0])
 
     if "--sequence" in sys.argv:
+        block = 1
+        for i, a in enumerate(sys.argv):
+            if a == "--block":
+                block = int(sys.argv[i + 1])
         # Smooth trajectory: a base skeleton drifting frame to frame.
         r = np.random.default_rng(3)
         base = kps_batch(1, 1)[0]
@@ -65,11 +69,11 @@ def main():
 
         t0 = time.time()
         warm_out = smplify.fit_sequence(model, seq, center, cfg,
-                                        chained=True)
+                                        chained=True, block=block)
         t_chain_cold = time.time() - t0
         t0 = time.time()
         warm_out = smplify.fit_sequence(model, seq, center, cfg,
-                                        chained=True)
+                                        chained=True, block=block)
         t_chain = time.time() - t0
 
         t0 = time.time()
@@ -80,7 +84,7 @@ def main():
         t_still = time.time() - t0
         print(json.dumps({
             "mode": "sequence", "model": "smpl" if smpl else "smplh",
-            "T": N, "verts": verts,
+            "T": N, "verts": verts, "block": block,
             "warm_maxiters": cfg.warm_maxiters,
             "chained_ms_per_frame": round(t_chain / N * 1000, 1),
             "stills_ms_per_frame": round(t_still / N * 1000, 1),

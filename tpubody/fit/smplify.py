@@ -1150,14 +1150,21 @@ def fit_sequence(
     rng: Optional[jax.Array] = None,
     chained: bool = True,
     mesh=None,
+    block: int = 1,
 ) -> FitBatchOutput:
     """Video fitting: T keypoint frames -> per-frame SMPLH fits.
 
-    ``chained=True`` (default): each frame warm-starts from the previous
-    frame's solution (camera, orientation, shape, pose) — temporal
-    coherence for video, one compiled single-frame program reused T
-    times.  ``chained=False``: all frames fit independently in one
-    batched (mesh-shardable) program — maximum throughput, no coupling.
+    ``chained=True`` (default): frames warm-start from the previous
+    solution (camera, orientation, shape, pose) — temporal coherence for
+    video.  ``block`` sets the chaining granularity: 1 fits one frame
+    per dispatch (strict frame-to-frame warm starts); ``block=B`` fits B
+    frames per batched dispatch, all warm-started from the previous
+    block's last solution — on TPU the batched dispatch amortizes the
+    per-call overhead that dominates single-frame fitting (measured
+    119.6 ms/frame at block=1 vs 47 ms/frame batched; block=8 keeps the
+    warm-start truncated budget AND the batch).  ``chained=False``: all
+    frames fit independently in one batched (mesh-shardable) program —
+    no temporal coupling.
     """
     kps = np.asarray(keypoints_seq, np.float32)
     T = kps.shape[0]
@@ -1169,31 +1176,47 @@ def fit_sequence(
 
     fitter = _cached_fitter(model, config, dec_params, rng)
     pose_key = fitter.pose_key
+    step = max(1, int(block))
     outs = []
     prev: Optional[FitBatchOutput] = None
-    for t in range(T):
+    for s in range(0, T, step):
+        kb = kps[s:s + step]
+        cb = centers[s:s + step]
+        n = kb.shape[0]
         ip = None
         ict = None
         aw = None
         cam_it = None
         stage_it = None
         if prev is not None:
+            # Every lane of this block starts from the previous block's
+            # LAST solution (for block=1 that is exactly the previous
+            # frame).
+            def rep(a):
+                return np.repeat(np.asarray(a)[-1:], n, axis=0)
+
             ip = {
-                "global_orient": prev.pose[:, :3],
-                "betas": prev.shape,
-                pose_key: (prev.pose_embedding if config.use_vposer
-                           else prev.pose[:, 3:3 + fitter.body_dim]),
+                "global_orient": rep(prev.pose[:, :3]),
+                "betas": rep(prev.shape),
+                pose_key: rep(prev.pose_embedding if config.use_vposer
+                              else prev.pose[:, 3:3 + fitter.body_dim]),
             }
-            ict = prev.camera_translation
-            # Temporal smoothing: anchor this frame's pose/orientation to
+            ict = rep(prev.camera_translation)
+            # Temporal smoothing: anchor this block's pose/orientation to
             # the previous solution (config.temporal_weight; 0 = off).
-            aw = np.full((1,), config.temporal_weight, np.float32)
+            aw = np.full((n,), config.temporal_weight, np.float32)
             # Warm-started frames run a truncated budget (traced operands
             # through the SAME compiled program; config.warm_maxiters).
+            # warm_cam_maxiters=0 means "inherit the previous frame's
+            # camera" — correct frame-to-frame, but a block inherits ONE
+            # camera for all its lanes, so block mode keeps the camera
+            # stage running at the warm budget.
             if config.warm_maxiters is not None:
-                cam_it = config.warm_cam_maxiters
+                cam_it = (config.warm_cam_maxiters if step == 1
+                          else (config.warm_cam_maxiters
+                                or config.warm_maxiters))
                 stage_it = config.warm_maxiters
-        prev = fitter(kps[t:t + 1], centers[t:t + 1],
+        prev = fitter(kb, cb,
                       init_cam_t=ict, init_params=ip, anchor_weight=aw,
                       cam_maxiters=cam_it, stage_maxiters=stage_it)
         outs.append(prev)
