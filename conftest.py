@@ -17,6 +17,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache across test runs: the fast suite is almost
+# entirely XLA:CPU compile time on this 1-core host, and warm cache hits
+# cut it ~40% (the AOT machine-feature warnings it prints are benign
+# here — measured stable over full-suite runs).  TPUBODY_TEST_NO_CACHE=1
+# opts out (e.g. when bisecting compile-time itself).
+if not os.environ.get("TPUBODY_TEST_NO_CACHE"):
+    _cache_dir = os.environ.get(
+        "TPUBODY_TEST_CACHE_DIR",
+        os.path.expanduser("~/.cache/tpubody_test_xla"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 import pytest  # noqa: E402

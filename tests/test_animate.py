@@ -314,6 +314,7 @@ class TestTiledVideoPath:
         lum_b = b @ [0.299, 0.587, 0.114]
         assert np.abs(lum_a - lum_b).mean() < 1.5
 
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_gouraud_shading_close_to_phong(self):
         """Vertex-shaded (gouraud) tiled renders track the per-pixel
         (phong) default closely even on the coarse sphere avatar — on
@@ -368,6 +369,7 @@ class TestTiledVideoPath:
             ref = (img[i].transpose(1, 2, 0) * 255 + 0.5).astype(int)
             assert np.abs(back.astype(int) - ref).max() <= 3
 
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_orbit_video_tiled_path(self, tmp_path):
         """Tile-aligned orbit renders go through the tiled branch (plan +
         bucketed large faces), not the fragment renderer."""
@@ -377,6 +379,7 @@ class TestTiledVideoPath:
                                 cam_t=np.array([0.0, 0.0, 3.0]), chunk=2)
         assert os.path.exists(out) and os.path.getsize(out) > 400
 
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_many_large_faces_bucket_bounded(self, monkeypatch):
         """A mesh whose faces mostly exceed the tile span splits into
         memory-bounded fragment buckets (was: one 41 GB rasterize call on
@@ -429,6 +432,7 @@ class TestTiledVideoPath:
         red = (img[..., 0] > 0.5) & (img[..., 1] < 0.3)
         assert red.sum() > 100
 
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_span_ladder_renders_midsize_faces_tiled(self):
         """Faces past the base span budget but under the ladder top ride
         additional tiled Pallas passes (wider spans), NOT the fragment
@@ -480,6 +484,7 @@ class TestTiledVideoPath:
         agree = np.isclose(tiled, frag, atol=2e-2).mean()
         assert agree > 0.995, agree
 
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_giant_face_beyond_512px_still_renders(self):
         """A face whose projected extent exceeds the old 512 px window cap
         renders through the frame-sized catch-all bucket instead of being

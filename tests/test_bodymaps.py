@@ -28,16 +28,19 @@ def _sphere_mesh(n_theta=24, n_phi=24, r=0.5):
 
 @pytest.fixture(scope="module")
 def rendered():
-    verts, faces = _sphere_mesh()
+    # Small config on purpose: the 128²/window-32 variant costs a 36 s
+    # XLA:CPU compile (the fast suite's single worst setup); 64²/16 pins
+    # the same 30-channel contract in ~3 s.
+    verts, faces = _sphere_mesh(16, 16)
     rng = np.random.default_rng(0)
     w = np.abs(rng.normal(size=(verts.shape[0], 24)))
     w /= w.sum(1, keepdims=True)
-    H = W = 128
+    H = W = 64
     maps = bodymaps.render_body_maps(
         verts, faces, w,
         camera_transl=np.array([0.0, 0.0, 10.0]),
         camera_center=np.array([W / 2, H / 2]),
-        height=H, width=W, focal=1000.0, window=32)
+        height=H, width=W, focal=500.0, window=16)
     return maps, H, W
 
 
@@ -51,9 +54,9 @@ def test_projection_centered():
 def test_silhouette_is_disk(rendered):
     maps, H, W = rendered
     mask = np.asarray(maps.mask)
-    # Sphere of radius .5 at z=10 with f=1000 -> ~50px radius disk.
+    # Sphere of radius .5 at z=10 with f=500 -> ~25px radius disk.
     area = mask.sum()
-    expected = np.pi * 50 ** 2
+    expected = np.pi * 25 ** 2
     assert abs(area - expected) / expected < 0.15
     assert mask[H // 2, W // 2]
     assert not mask[5, 5]

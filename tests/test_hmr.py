@@ -151,6 +151,7 @@ class TestStem:
             (7, 7, 3, 64)
 
 
+@pytest.mark.slow  # compile-heavy; fast-suite budget
 def test_remat_backbone_matches_plain():
     """remat=True recomputes activations but must produce identical
     outputs AND gradients (same param tree, same math)."""

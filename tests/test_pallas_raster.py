@@ -57,6 +57,7 @@ class TestZbufferTiled:
     def test_matches_fragment_rasterizer_small(self):
         assert _compare(64, 128, 40, 12, seed=0) > 300
 
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_matches_fragment_rasterizer_multi_tile_faces(self):
         # extents up to 30 px: faces span several 8x128 tiles
         assert _compare(128, 256, 150, 30, seed=1) > 3000
@@ -123,6 +124,7 @@ class TestFusedRender:
         assert dd.max() < 1e-2
         assert int(ov) == 0
 
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_batched_frames_independent(self):
         H, W = 64, 128
         verts, faces, attrs = _scene(H, W, 30, 10, seed=5, n_chan=3)

@@ -56,6 +56,7 @@ def _compare(mod, vs, x, blocks, stage):
 
 
 class TestFusedStage:
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_matches_flax_with_downsample(self):
         """Stage-1 shape: block 0 widens C_in -> 4*feats via the
         downsample 1x1 (the layer1 configuration)."""

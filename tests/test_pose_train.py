@@ -10,6 +10,7 @@ from tpubody.pipelines import pose_train
 
 
 class TestProjection:
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_joints_project_inside_rendered_body(self):
         """Projected joints land on (or very near) the rendered silhouette:
         labels and pixels share one camera."""
@@ -42,6 +43,7 @@ class TestProjection:
 
 
 class TestDomainRand:
+    @pytest.mark.slow  # compile-heavy; fast-suite budget
     def test_randomized_batch_varies_and_labels_track(self):
         """domain_rand produces per-example backgrounds/cameras while the
         projected labels still land inside the frame for visible joints."""
