@@ -275,7 +275,8 @@ def _cmd_train_pose2d(args) -> int:
         steps=args.steps, batch=args.batch, size=args.size,
         features=args.features, lr=args.lr,
         domain_rand=getattr(args, "domain_rand", False),
-        init_params=init_params, on_chunk=on_chunk)
+        init_params=init_params, on_chunk=on_chunk,
+        chunk=getattr(args, "chunk", 100))
     assert int(res.model.n_keypoints) == n_kp
     save(res.params)
     print(f"pixel err: {res.pixel_err_before:.2f} -> "
@@ -618,6 +619,9 @@ def main(argv=None) -> int:
                    help="checkpoint dir to resume variables from")
     p.add_argument("--save-every", type=int, default=500,
                    help="checkpoint every N steps (crash costs at most N)")
+    p.add_argument("--chunk", type=int, default=100,
+                   help="steps per compiled scan program (smaller keeps "
+                        "the program within toolchain limits)")
     p.set_defaults(fn=_cmd_train_pose2d)
 
     p = sub.add_parser("train-hmr",

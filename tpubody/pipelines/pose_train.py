@@ -206,6 +206,7 @@ def train_pose2d_synthetic(
     domain_rand: bool = False,
     init_params=None,
     on_chunk=None,
+    chunk: int = 100,
 ) -> PoseTrainResult:
     """Train a pose2d detector purely on rendered synthetic bodies.
 
@@ -258,7 +259,10 @@ def train_pose2d_synthetic(
             params, opt_state, data.images, data.keypoints)
         return (params, opt_state), loss
 
-    chunk = min(steps, 100)
+    # chunk: steps per compiled scan program.  100 amortizes dispatch
+    # best; smaller chunks (10-20) keep the program small enough for
+    # toolchains whose compiler/runtime faults on the big scan.
+    chunk = min(steps, max(1, int(chunk)))
 
     @jax.jit
     def run_chunk(params, opt_state, keys):
