@@ -398,7 +398,13 @@ def max_span_for(extent: float) -> Tuple[int, int]:
 # the winner's attribute planes.  No per-pixel gathers anywhere.
 # ---------------------------------------------------------------------------
 
-CF_FUSED = 32      # faces per chunk: most covered tiles hold <32 faces
+# Faces per chunk.  32 bounds per-tile padding waste (most covered tiles
+# hold <32 faces), but the kernel's cost is dominated by a ~5 us/chunk
+# loop-body overhead, so fatter chunks trade padding for fewer chunks —
+# env-tunable for on-chip A/B (import-time constant: set before import).
+import os as _os                                       # noqa: E402
+
+CF_FUSED = int(_os.environ.get("TPUBODY_CF_FUSED", "32"))
 SUPER_CHUNK = 16   # chunks per kernel DMA (per-chunk copies stall on latency)
 MAX_ATTR = 32      # attr-channel cap per fused call (VMEM-bounded)
 
