@@ -362,7 +362,9 @@ class TestSmplify:
         state = smpl_lib.forward(model, jnp.zeros((52, 3)), jnp.zeros(10))
         j3 = joints_lib.openpose_joints(state.verts, state.joints_posed)
         seq = []
-        txs = [-0.15, -0.05, 0.05, 0.15]
+        # Odd length on purpose: the tail block (1 frame) must pad to the
+        # compiled block shape and trim, not recompile.
+        txs = [-0.15, -0.05, 0.0, 0.05, 0.15]
         for tx in txs:
             proj = np.asarray(smplify._project(
                 j3, jnp.asarray([tx, 0.0, 4.0]), focal,
@@ -377,7 +379,7 @@ class TestSmplify:
         out = smplify.fit_sequence(model, np.stack(seq), center, cfg,
                                    dec_params=dec_params, chained=True,
                                    block=2)
-        assert out.pose.shape == (4, 156)
+        assert out.pose.shape == (5, 156)
         assert np.isfinite(out.loss).all()
         x = out.camera_translation[:, 0]
         assert np.all(np.abs(x - np.asarray(txs)) < 0.1), x

@@ -59,6 +59,8 @@ def main():
         block = 1
         for i, a in enumerate(sys.argv):
             if a == "--block":
+                if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+                    sys.exit("usage: --block N (positive integer)")
                 block = int(sys.argv[i + 1])
         # Smooth trajectory: a base skeleton drifting frame to frame.
         r = np.random.default_rng(3)

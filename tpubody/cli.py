@@ -263,12 +263,15 @@ def _cmd_train_pose2d(args) -> int:
                      "features": np.asarray(args.features)},
         })
 
-    save_every = max(100, getattr(args, "save_every", 500))
+    chunk = max(1, getattr(args, "chunk", 100))
+    save_every = max(chunk, getattr(args, "save_every", 500))
 
     def on_chunk(variables, done):
         # Periodic checkpointing: a crashed device worker costs at most
         # save_every steps, and --resume continues from the last save.
-        if done % save_every < 100:
+        # (done advances in `chunk`-step increments, so the window must
+        # scale with the chunk size.)
+        if done % save_every < chunk:
             save(variables)
 
     res = pose_train.train_pose2d_synthetic(

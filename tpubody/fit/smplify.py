@@ -1182,6 +1182,15 @@ def fit_sequence(
     for s in range(0, T, step):
         kb = kps[s:s + step]
         cb = centers[s:s + step]
+        n_real = kb.shape[0]
+        if n_real < step:
+            # Pad the tail block to the compiled block shape (repeat the
+            # last frame; outputs trimmed below) — a ragged tail would
+            # otherwise pay a second minutes-long staged-fit compile.
+            kb = np.concatenate(
+                [kb, np.repeat(kb[-1:], step - n_real, axis=0)])
+            cb = np.concatenate(
+                [cb, np.repeat(cb[-1:], step - n_real, axis=0)])
         n = kb.shape[0]
         ip = None
         ict = None
@@ -1219,6 +1228,11 @@ def fit_sequence(
         prev = fitter(kb, cb,
                       init_cam_t=ict, init_params=ip, anchor_weight=aw,
                       cam_maxiters=cam_it, stage_maxiters=stage_it)
+        if n_real < n:   # drop the tail block's padding lanes
+            prev = FitBatchOutput(*[
+                (v[:n_real] if isinstance(v, np.ndarray)
+                 and getattr(v, "ndim", 0) >= 1 and v.shape[0] == n else v)
+                for v in prev])
         outs.append(prev)
     return FitBatchOutput(
         pose=np.concatenate([o.pose for o in outs]),

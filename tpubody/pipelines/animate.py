@@ -100,6 +100,8 @@ def animate_video(
     # the MP4 codec does anyway — output quality is unchanged.
     # i420_transfer: None = auto (on whenever no crop window is active);
     # False forces the uint8-RGB pull (bit-exact vs the crop path).
+    # An active crop window always wins (even over i420_transfer=True):
+    # a sub-half-frame RGB crop moves fewer bytes than full-frame I420.
     if i420_transfer is None:
         i420_transfer = crop is None
     render_block, chunk, i420 = _block_renderer(
@@ -236,7 +238,9 @@ def _block_renderer(avatar, background, cam_t, size, focal, window, chunk,
         # Coefficient-table HBM scales with frames x the CSR chunk budget
         # summed over the base pass and the span-ladder rungs; bound the
         # transient tables to ~1.5 GB per dispatched frame block.
-        chunk_bytes = 4 * (5 + 6) * 32 * 4       # (4, G*CF_FUSED) f32 rows
+        from tpubody.render import pallas_raster as PR
+
+        chunk_bytes = 4 * (5 + 6) * PR.CF_FUSED * 4  # (4, G*CF) f32 rows
         total_tc = plan["total_chunks"] + sum(
             spec[3] for spec in plan["ladder_specs"])
         chunk = max(1, min(chunk,
@@ -370,7 +374,9 @@ def orbit_video(
         sf_j = jnp.asarray(plan["small_faces"])
         lb_j = tuple(jnp.asarray(b) for b in plan["large_buckets"]) or None
         lad_j = tuple(jnp.asarray(b) for b in plan["ladder_faces"])
-        chunk_bytes = 4 * (5 + 6) * 32 * 4
+        from tpubody.render import pallas_raster as PR
+
+        chunk_bytes = 4 * (5 + 6) * PR.CF_FUSED * 4
         total_tc = plan["total_chunks"] + sum(
             spec[3] for spec in plan["ladder_specs"])
         chunk = max(1, min(chunk,

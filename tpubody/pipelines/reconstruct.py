@@ -9,9 +9,13 @@ Stages (call stack parity with main.py:28-141, SURVEY.md §3.2):
   6. stitch the two depth meshes + recover 3D joints — mesh.stitch,
   7. rig the mesh onto the SMPL skeleton — mesh.rigging.
 
-Every stage persists the reference's side-car artifacts (smplh_value.npy,
-warp_and_filled.npy, depth_front.npy, ... main.py:84-122) through the
-content-addressed StageCache, giving resumable runs.
+With ``cache=True`` every stage persists the reference's side-car
+artifacts (smplh_value.npy, warp_and_filled.npy, depth_front.npy, ...
+main.py:84-122) through the content-addressed StageCache, giving
+resumable runs.  With ``cache=False`` the intermediate blocks stay
+DEVICE-resident (the 126 MB value block never round-trips the host —
+worth ~5 s/image through a remote-device tunnel) and only the final
+mesh/avatar artifacts are written.
 """
 from __future__ import annotations
 
