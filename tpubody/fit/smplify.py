@@ -153,12 +153,14 @@ class FitConfig:
     # frame, fit_smplh.yaml:49).  Frames >= 1 of fit_sequence start from
     # the previous frame's solution, so they need a fraction of the
     # budget: warm_maxiters caps each stage's L-BFGS iterations and
-    # warm_cam_maxiters the camera-stage iterations (the previous frame's
-    # camera/orientation pass through when 0).  Both are TRACED operands
-    # of the one compiled fitter program — no recompile vs the cold
-    # frame.  None disables (full budget every frame).
+    # warm_cam_maxiters the camera-stage iterations (0 = the previous
+    # frame's camera/orientation pass through — only safe for a STATIC
+    # camera: a frozen camera stage cannot track subject/camera motion,
+    # which is why the default is a small nonzero budget).  Both are
+    # TRACED operands of the one compiled fitter program — no recompile
+    # vs the cold frame.  None disables (full budget every frame).
     warm_maxiters: Optional[int] = 10
-    warm_cam_maxiters: int = 0
+    warm_cam_maxiters: int = 5
 
 
 class FitOutput(NamedTuple):
